@@ -1,0 +1,144 @@
+"""Camera/optics correction kernels, fused into one XLA pass.
+
+Behavior targets (reference ImageAnalysis3):
+  * hot-pixel removal        corrections.py:490-510 (Remove_Hot_Pixels)
+  * z-shift normalization    corrections.py:479-487 (Z_Shift_Correction)
+  * bleedthrough unmixing    io_tools/load.py:346-370
+  * illumination flat-field  io_tools/load.py:372-384
+  * gaussian high-pass       correction_tools/filter.py:14-19
+  * fused chain entry        io_tools/load.py:166-521 (correct_fov_image)
+
+Design: the reference runs these as sequential NumPy passes per channel in a
+forked worker; here all channels are a single `(C, Z, X, Y)` array and the
+whole chain is one jitted function, so XLA fuses the elementwise stages and
+the stack never round-trips to host.  uint16 data is promoted to f32 on
+entry and clipped back to the uint16 range at the end (reference
+io_tools/load.py:363-366 clipping semantics).
+
+Note: the reference's 4-neighbor mean at corrections.py:496 contains a
+transcription quirk (it sums ``roll(im,1,2)`` twice and omits
+``roll(im,-1,2)``); we implement the intended symmetric 4-neighbor mean.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .filters import counting_median, gaussian_highpass
+
+
+@partial(jax.jit, static_argnames=("hot_pix_th", "hot_th"))
+def remove_hot_pixels(im: jnp.ndarray, hot_pix_th: float = 0.5,
+                      hot_th: float = 4.0) -> jnp.ndarray:
+    """Replace camera hot pixels with their 4-neighbor mean.
+
+    A pixel column (x, y) is hot when its intensity exceeds ``hot_th`` x
+    (4-neighbor mean) in more than ``hot_pix_th`` of z-layers; hot columns
+    are replaced by the 4-neighbor mean in every layer (computed from the
+    original image, borders never replaced).
+    Behavior target: corrections.py:490-510.
+    """
+    imf = im.astype(jnp.float32)
+    neigh = (jnp.roll(imf, 1, 1) + jnp.roll(imf, -1, 1)
+             + jnp.roll(imf, 1, 2) + jnp.roll(imf, -1, 2)) * 0.25
+    hot_frac = jnp.mean((imf > hot_th * neigh).astype(jnp.float32), axis=0)
+    hot2d = hot_frac > hot_pix_th
+    # never touch the xy border (reference guards 0 < x < X-1 etc.)
+    z, x, y = imf.shape
+    xi = jnp.arange(x)[:, None]
+    yi = jnp.arange(y)[None, :]
+    interior = (xi > 0) & (xi < x - 1) & (yi > 0) & (yi < y - 1)
+    hot2d = hot2d & interior
+    return jnp.where(hot2d[None], neigh, imf)
+
+
+@jax.jit
+def z_shift_correct(im: jnp.ndarray) -> jnp.ndarray:
+    """Per-z-layer median normalization, rescaled to the global median.
+
+    out = im / median(im, axis=(x,y)) * median(im).
+    Behavior target: corrections.py:479-487 (Z_Shift_Correction).
+    """
+    imf = im.astype(jnp.float32)
+    layer_med = counting_median(imf, axis=(1, 2))
+    global_med = counting_median(imf)
+    return imf / layer_med[:, None, None] * global_med
+
+
+@jax.jit
+def illumination_correct(im: jnp.ndarray, profile: jnp.ndarray) -> jnp.ndarray:
+    """Flat-field: divide every z-layer by the per-channel 2D profile.
+
+    Behavior target: io_tools/load.py:372-384.
+    `im`: (Z, X, Y); `profile`: (X, Y).
+    """
+    return im.astype(jnp.float32) / profile[None].astype(jnp.float32)
+
+
+@jax.jit
+def bleedthrough_unmix(ims: jnp.ndarray, profile: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel linear unmixing across the correction channels.
+
+    out[i] = sum_j ims[j] * profile[i, j]  (profile per-pixel 2D maps).
+    Behavior target: io_tools/load.py:346-370.
+    `ims`: (C, Z, X, Y); `profile`: (C, C, X, Y).
+    """
+    return jnp.einsum("ijxy,jzxy->izxy", profile.astype(jnp.float32),
+                      ims.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Fused correction pass
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=(
+    "hot_pixel", "hot_pixel_th", "hot_pixel_ratio", "z_shift",
+    "do_bleedthrough", "do_illumination", "do_highpass",
+    "highpass_sigma", "highpass_truncate", "clip"))
+def correct_channel_stack(
+    ims: jnp.ndarray,
+    bleed_profile: Optional[jnp.ndarray] = None,
+    illumination_profile: Optional[jnp.ndarray] = None,
+    *,
+    hot_pixel: bool = True,
+    hot_pixel_th: float = 0.5,
+    hot_pixel_ratio: float = 4.0,
+    z_shift: bool = True,
+    do_bleedthrough: bool = True,
+    do_illumination: bool = True,
+    do_highpass: bool = False,
+    highpass_sigma: float = 3.0,
+    highpass_truncate: float = 2.0,
+    clip: bool = True,
+) -> jnp.ndarray:
+    """One fused pass over a `(C, Z, X, Y)` multi-channel stack.
+
+    Stage order matches the reference chain (io_tools/load.py:166-521):
+    hot-pixel -> z-shift -> bleedthrough -> illumination -> high-pass.
+    Drift/chromatic warping is a separate op (:mod:`.warp`) because it needs
+    the drift result.
+    """
+    out = ims.astype(jnp.float32)
+    if hot_pixel:
+        out = jax.vmap(lambda im: remove_hot_pixels(
+            im, hot_pix_th=hot_pixel_th, hot_th=hot_pixel_ratio))(out)
+    if z_shift:
+        out = jax.vmap(z_shift_correct)(out)
+    if do_bleedthrough and bleed_profile is not None:
+        out = bleedthrough_unmix(out, bleed_profile)
+        if clip:
+            out = jnp.clip(out, 0.0, 65535.0)
+    if do_illumination and illumination_profile is not None:
+        out = out / illumination_profile[:, None].astype(jnp.float32)
+    if do_highpass:
+        out = jax.vmap(lambda im: gaussian_highpass(
+            im, highpass_sigma, highpass_truncate))(out)
+    if clip:
+        out = jnp.clip(out, 0.0, 65535.0)
+    return out

@@ -1,0 +1,178 @@
+"""Synthetic FISH data generation for tests and benchmarks.
+
+The reference has no test data; its only synthetic helpers are the unused
+``add_source`` Gaussian injectors (External/Fitting_v4.py:139-161,
+visual_tools.py:87-117).  This module is the framework's ground-truth
+factory: it renders rotated anisotropic 3D Gaussian spots, optics artifacts
+(illumination falloff, bleedthrough mixing, hot pixels), and rigid drifts so
+every pipeline stage can be verified against known parameters.
+
+Pure NumPy on host (test/benchmark setup is not a perf path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def render_gaussian_spots(shape: Tuple[int, int, int],
+                          centers: np.ndarray,
+                          heights: np.ndarray,
+                          sigmas: np.ndarray,
+                          background: float = 100.0,
+                          truncate: float = 8.0) -> np.ndarray:
+    """Render axis-aligned 3D Gaussian spots onto a constant background.
+
+    centers: (N, 3) zxy float px; heights: (N,); sigmas: (N, 3) px.
+    Equivalent ground-truth generator to the reference's ``add_source``
+    (External/Fitting_v4.py:139-161), vectorized per spot window.
+    """
+    im = np.full(shape, float(background), dtype=np.float64)
+    for c, h, s in zip(np.atleast_2d(centers), np.atleast_1d(heights),
+                       np.atleast_2d(sigmas)):
+        rad = np.maximum((truncate * s).astype(int), 2)
+        lo = np.maximum(np.floor(c - rad).astype(int), 0)
+        hi = np.minimum(np.ceil(c + rad).astype(int) + 1, shape)
+        if np.any(lo >= hi):
+            continue
+        zz, xx, yy = np.meshgrid(*[np.arange(l, u) for l, u in zip(lo, hi)],
+                                 indexing="ij")
+        d2 = (((zz - c[0]) / s[0]) ** 2 + ((xx - c[1]) / s[1]) ** 2
+              + ((yy - c[2]) / s[2]) ** 2)
+        im[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] += h * np.exp(-0.5 * d2)
+    return im
+
+
+def poisson_camera_noise(im: np.ndarray, rng: np.random.Generator,
+                         read_noise: float = 2.0) -> np.ndarray:
+    """Shot + read noise, clipped to the uint16 range."""
+    noisy = rng.poisson(np.maximum(im, 0)).astype(np.float64)
+    noisy += rng.normal(0.0, read_noise, size=im.shape)
+    return np.clip(noisy, 0, 65535)
+
+
+def random_spot_field(shape: Tuple[int, int, int],
+                      n_spots: int,
+                      rng: np.random.Generator,
+                      height_range: Tuple[float, float] = (300.0, 3000.0),
+                      sigma_zxy: Tuple[float, float, float] = (1.35, 1.9, 1.9),
+                      sigma_jitter: float = 0.15,
+                      background: float = 150.0,
+                      min_separation: float = 0.0,
+                      edge_margin: float = 8.0,
+                      ) -> Tuple[np.ndarray, dict]:
+    """A stack with `n_spots` random Gaussians; returns (image, truth dict)."""
+    shape = tuple(int(s) for s in shape)
+    margin = np.minimum(np.full(3, float(edge_margin)),
+                        np.array(shape) / 3.0)
+    lo = margin
+    hi = np.array(shape) - margin
+    centers = []
+    trials = 0
+    while len(centers) < n_spots and trials < n_spots * 200:
+        trials += 1
+        c = rng.uniform(lo, hi)
+        if min_separation > 0 and centers:
+            d = np.linalg.norm(np.array(centers) - c, axis=1)
+            if d.min() < min_separation:
+                continue
+        centers.append(c)
+    centers = np.array(centers) if centers else np.zeros((0, 3))
+    n = len(centers)
+    heights = rng.uniform(*height_range, size=n)
+    sigmas = np.array(sigma_zxy) * (1 + rng.uniform(-sigma_jitter,
+                                                    sigma_jitter, size=(n, 3)))
+    im = render_gaussian_spots(shape, centers, heights, sigmas, background)
+    truth = {"centers": centers, "heights": heights, "sigmas": sigmas,
+             "background": background}
+    return im, truth
+
+
+def illumination_profile(shape_xy: Tuple[int, int],
+                         falloff: float = 0.35,
+                         rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Smooth vignetting profile in (0, 1], peak 1.0 at center."""
+    x = np.linspace(-1, 1, shape_xy[0])[:, None]
+    y = np.linspace(-1, 1, shape_xy[1])[None, :]
+    prof = 1.0 - falloff * (x ** 2 + y ** 2) / 2.0
+    if rng is not None:
+        prof = prof * (1 + 0.01 * np.cos(3 * np.pi * x) * np.sin(2 * np.pi * y))
+    return np.clip(prof, 0.2, 1.0)
+
+
+def bleed_matrix(channels: int = 3, leak: float = 0.08,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Row-stochastic-ish mixing matrix M: observed = M @ true."""
+    m = np.eye(channels)
+    for i in range(channels):
+        for j in range(channels):
+            if abs(i - j) == 1:
+                m[i, j] = leak * (1 + (0.3 * rng.standard_normal() if rng else 0))
+    return m
+
+
+def chromatic_shift_field(shape: Tuple[int, int, int],
+                          coeffs_zxy: Sequence[np.ndarray]) -> np.ndarray:
+    """Order-2 polynomial shift field, (3, Z, X, Y).
+
+    Matches the reference's chromatic profile construction
+    (correction_tools/chromatic.py:415 generate_polynomial_data):
+    shift_d(z,x,y) = sum over monomials {1,z,x,y,z^2,x^2,y^2,zx,zy,xy}.
+    """
+    z, x, y = [np.arange(s, dtype=np.float64) for s in shape]
+    zz, xx, yy = np.meshgrid(z, x, y, indexing="ij")
+    mono = np.stack([np.ones_like(zz), zz, xx, yy, zz * zz, xx * xx,
+                     yy * yy, zz * xx, zz * yy, xx * yy])
+    out = np.stack([np.tensordot(np.asarray(c), mono, axes=1)
+                    for c in coeffs_zxy])
+    return out
+
+
+@dataclass
+class SyntheticFov:
+    """A synthetic multi-round, multi-channel field of view with ground truth."""
+
+    ims: np.ndarray                    # (rounds, channels, Z, X, Y) uint16-range f32
+    truth: list = field(default_factory=list)   # per (round, channel) truth dicts
+    drifts: np.ndarray = None          # (rounds, 3) true zxy drifts vs round 0
+    illumination: np.ndarray = None    # (channels, X, Y)
+    bleed: np.ndarray = None           # (C, C) mixing matrix applied
+
+
+def make_synthetic_fov(shape=(16, 256, 256), n_rounds=3, n_channels=2,
+                       n_spots=20, seed=0, drift_scale=3.0,
+                       apply_illumination=True, apply_bleed=False,
+                       noise=True) -> SyntheticFov:
+    """Build a small multi-round FOV: same spot field per channel, shifted
+    per round by a random drift, with vignetting and optional noise."""
+    rng = np.random.default_rng(seed)
+    shape = tuple(shape)
+    prof = np.stack([illumination_profile(shape[1:], rng=rng)
+                     for _ in range(n_channels)])
+    drifts = np.vstack([np.zeros(3),
+                        rng.uniform(-drift_scale, drift_scale,
+                                    size=(n_rounds - 1, 3))])
+    ims = np.zeros((n_rounds, n_channels) + shape, dtype=np.float32)
+    truth = []
+    base_fields = []
+    for c in range(n_channels):
+        _, t = random_spot_field(shape, n_spots, rng, min_separation=12.0)
+        base_fields.append(t)
+    for r in range(n_rounds):
+        for c in range(n_channels):
+            t = base_fields[c]
+            centers = t["centers"] + drifts[r]
+            im = render_gaussian_spots(shape, centers, t["heights"],
+                                       t["sigmas"], t["background"])
+            if apply_illumination:
+                im = im * prof[c][None]
+            if noise:
+                im = poisson_camera_noise(im, rng)
+            ims[r, c] = im.astype(np.float32)
+            truth.append({"round": r, "channel": c, "centers": centers,
+                          "heights": t["heights"], "sigmas": t["sigmas"]})
+    return SyntheticFov(ims=ims, truth=truth, drifts=drifts,
+                        illumination=prof, bleed=None)
