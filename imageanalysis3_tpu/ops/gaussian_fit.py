@@ -1,0 +1,406 @@
+"""Constrained 3D Gaussian spot fitting: batched Levenberg-Marquardt on TPU.
+
+Behavior target: reference External/Fitting_v4.py:165-683 —
+  * the 10-parameter constrained model (GaussianFit.calc_f :259-290):
+    log background, log height, sigmoid-boxed center within +-delta of the
+    seed, sigmoid-boxed squared widths in [min_w^2, max_w^2], and two
+    sine-angles giving a full-covariance rotated anisotropic Gaussian;
+  * natural parameter row [h, z, x, y, bk, wz, wx, wy, sin_t, sin_p, eps]
+    (to_natural_paramaters :244-258, the 11-column spot format of
+    classes/preprocess.py:13);
+  * iterative fit-and-subtract (iter_fit_seed_points :559-683): first fit
+    each seed on pixels it owns (nearest-seed Voronoi within a radius-r
+    ball), then repeatedly re-fit each spot against the image with all
+    *other* reconstructions subtracted until centers move < 0.1 px.
+
+TPU-first design: the reference runs MINPACK leastsq once per spot in a
+Python loop with sequential in-place image subtraction.  Here every spot is
+fit concurrently: pixels are gathered into fixed (2r)^3 blocks with
+ball/bounds/ownership masks, the LM loop is a fixed-iteration `lax.fori`
+vmapped over spots (J^T J is a 10x10 solve — tiny batched matmuls), and the
+sequential subtract-refit becomes block-synchronous (Jacobi) rounds: each
+round every spot is refit against the raw image minus its neighbors'
+current reconstructions.  Both schemes share the fixpoint "every spot fits
+the image minus the others"; only the iteration order differs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .seeding import Seeds, get_seeds
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Model: constrained parametrization (reference Fitting_v4.py:189-290)
+# dims follow our zxy convention; the reference's (x,y,z) names map to
+# (z,x,y) here because it feeds X=[z,x,y] into GaussianFit (iter_fit :614).
+# ---------------------------------------------------------------------------
+
+
+def _to_center(cp, center_est, delta):
+    # 2d/(1+e^x) - d  ==  d * tanh(-x/2), numerically stable
+    return center_est + delta * jnp.tanh(-cp / 2.0)
+
+
+def _to_ws(wp, min_ws, max_ws):
+    # (max-min)/(1+e^w) + min  ==  min + (max-min)*sigmoid(-w)
+    return min_ws + (max_ws - min_ws) * jax.nn.sigmoid(-wp)
+
+
+def _to_sine(tp):
+    return jnp.tanh(-tp / 2.0)
+
+
+def _quadform_coeffs(t, p, s1, s2, s3):
+    """Coefficients of the rotated precision quadratic form
+    (reference calc_f :268-283).  s_i = 1/width_i^2."""
+    p2, t2 = p * p, t * t
+    tc2, pc2 = 1 - t2, 1 - p2
+    tc = jnp.sqrt(jnp.maximum(tc2, 0.0))
+    pc = jnp.sqrt(jnp.maximum(pc2, 0.0))
+    a11 = pc2 * tc2 * s1 + t2 * s2 + p2 * tc2 * s3
+    a22 = pc2 * t2 * s1 + tc2 * s2 + p2 * t2 * s3
+    a33 = p2 * s1 + pc2 * s3
+    a12 = 2 * tc * t * (pc2 * s1 - s2 + p2 * s3)
+    a13 = 2 * p * pc * tc * (s3 - s1)
+    a23 = 2 * p * pc * t * (s3 - s1)
+    return a11, a22, a33, a12, a13, a23
+
+
+def gaussian_model(params: jnp.ndarray, coords: jnp.ndarray,
+                   center_est: jnp.ndarray, delta: float,
+                   min_w: float, max_w: float,
+                   include_background: bool = True) -> jnp.ndarray:
+    """Model intensity at `coords` (P, 3) for constrained `params` (10,).
+
+    params = [bk, h, c1p, c2p, c3p, w1p, w2p, w3p, pp, tp] (reference
+    GaussianFit.p_ ordering, :185).
+    """
+    bk, h = params[0], params[1]
+    c = _to_center(params[2:5], center_est, delta)
+    ws = _to_ws(params[5:8], min_w * min_w, max_w * max_w)
+    p = _to_sine(params[8])
+    t = _to_sine(params[9])
+    s1, s2, s3 = 1.0 / ws[0], 1.0 / ws[1], 1.0 / ws[2]
+    a11, a22, a33, a12, a13, a23 = _quadform_coeffs(t, p, s1, s2, s3)
+    d = coords - c[None]
+    q = (a11 * d[:, 0] ** 2 + a22 * d[:, 1] ** 2 + a33 * d[:, 2] ** 2
+         + a12 * d[:, 0] * d[:, 1] + a13 * d[:, 0] * d[:, 2]
+         + a23 * d[:, 1] * d[:, 2])
+    peak = jnp.exp(h - 0.5 * q)
+    if include_background:
+        return jnp.exp(jnp.clip(bk, -70.0, 70.0)) + peak
+    return peak
+
+
+def to_natural(params: jnp.ndarray, center_est: jnp.ndarray, delta: float,
+               min_w: float, max_w: float, eps: jnp.ndarray) -> jnp.ndarray:
+    """Constrained params -> [h, z, x, y, bk, wz, wx, wy, sin_t, sin_p, eps]
+    (reference to_natural_paramaters :244-258)."""
+    h = jnp.exp(params[1])
+    bk = jnp.exp(jnp.clip(params[0], -70.0, 70.0))
+    c = _to_center(params[2:5], center_est, delta)
+    ws = jnp.sqrt(_to_ws(params[5:8], min_w * min_w, max_w * max_w))
+    p = _to_sine(params[8])
+    t = _to_sine(params[9])
+    return jnp.concatenate([jnp.stack([h, c[0], c[1], c[2], bk,
+                                       ws[0], ws[1], ws[2], t, p]),
+                            eps[None]])
+
+
+def init_params(pixels: jnp.ndarray, mask: jnp.ndarray,
+                min_w: float, max_w: float, init_w: float,
+                n_aprox: int = 10) -> jnp.ndarray:
+    """Initial constrained params from pixel statistics (reference
+    GaussianFit.__init__ :174-186)."""
+    big = jnp.where(mask, pixels, jnp.inf)
+    small = jnp.where(mask, pixels, -jnp.inf)
+    lo = -jax.lax.top_k(-big, n_aprox)[0]
+    hi = jax.lax.top_k(small, n_aprox)[0]
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    k = jnp.minimum(n_aprox, jnp.maximum(n_valid, 1))
+    lo_mean = jnp.sum(jnp.where(jnp.isfinite(lo), lo, 0.0)) / k
+    hi_mean = jnp.sum(jnp.where(jnp.isfinite(hi), hi, 0.0)) / k
+    eps0 = jnp.exp(-10.0)
+    bk = jnp.log(jnp.maximum(lo_mean, eps0))
+    h = jnp.log(jnp.maximum(hi_mean, eps0))
+    wsq = init_w * init_w
+    wg = jnp.log((max_w * max_w - wsq) / (wsq - min_w * min_w))
+    return jnp.stack([bk, h, 0.0, 0.0, 0.0, wg, wg, wg, 0.0, 0.0])
+
+
+# ---------------------------------------------------------------------------
+# Levenberg-Marquardt (vmapped; replaces MINPACK leastsq, :377-393)
+# ---------------------------------------------------------------------------
+
+
+def rebase_center_params(params: jnp.ndarray, center_est: jnp.ndarray,
+                         old_delta: float, new_delta: float) -> jnp.ndarray:
+    """Re-express the sigmoid-boxed center under a different delta box so a
+    previous round's solution can warm-start the next round."""
+    c = _to_center(params[2:5], center_est, old_delta)
+    u = jnp.clip((c - center_est) / new_delta, -1 + 1e-6, 1 - 1e-6)
+    cp = -2.0 * jnp.arctanh(u)
+    return params.at[2:5].set(cp)
+
+
+def lm_fit_single(pixels: jnp.ndarray, coords: jnp.ndarray,
+                  mask: jnp.ndarray, center_est: jnp.ndarray,
+                  delta: float, min_w: float, max_w: float, init_w: float,
+                  lm_iters: int = 30,
+                  params0: Optional[jnp.ndarray] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit one spot's pixel block -> (constrained params, mean |residual|)."""
+    if params0 is None:
+        params0 = init_params(pixels, mask, min_w, max_w, init_w)
+    maskf = mask.astype(jnp.float32)
+
+    def residual(p):
+        f = gaussian_model(p, coords, center_est, delta, min_w, max_w)
+        return (f - pixels) * maskf
+
+    def step(i, state):
+        params, lam, cost = state
+        r = residual(params)
+        J = jax.jacfwd(residual)(params)                    # (P, 10)
+        g = jnp.einsum("pi,p->i", J, r, precision=_HIGH)
+        H = jnp.einsum("pi,pj->ij", J, J, precision=_HIGH)
+        diag = jnp.diagonal(H)
+        A = H + lam * jnp.diag(diag) + 1e-8 * jnp.eye(10)
+        delta_p = jnp.linalg.solve(A, -g)
+        new_params = params + delta_p
+        new_cost = jnp.sum(residual(new_params) ** 2)
+        ok = (new_cost < cost) & jnp.all(jnp.isfinite(new_params))
+        params = jnp.where(ok, new_params, params)
+        cost = jnp.where(ok, new_cost, cost)
+        lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-7),
+                        jnp.minimum(lam * 3.0, 1e7))
+        return params, lam, cost
+
+    cost0 = jnp.sum(residual(params0) ** 2)
+    params, _, _ = jax.lax.fori_loop(0, lm_iters, step,
+                                     (params0, jnp.float32(1e-3), cost0))
+    r = residual(params)
+    n = jnp.maximum(jnp.sum(maskf), 1.0)
+    eps = jnp.sum(jnp.abs(r)) / n
+    return params, eps
+
+
+# ---------------------------------------------------------------------------
+# Pixel-block gathering and neighbor bookkeeping
+# ---------------------------------------------------------------------------
+
+
+def ball_offsets(radius: int) -> np.ndarray:
+    """(P, 3) integer offsets of the (2r)^3 cube, with the reference's
+    asymmetric range [-r, r) (iter_fit :580-583)."""
+    g = np.indices([2 * radius] * 3).reshape(3, -1).T - radius
+    return g.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def gather_blocks(im: jnp.ndarray, seeds_zxy: jnp.ndarray, radius: int):
+    """Gather (N, P) pixel blocks around integer seed positions.
+
+    Returns (pixels, coords, base_mask) where base_mask = in-ball & in-bounds
+    (reference iter_fit :580-608: ball of radius r, in_dim bounds check).
+    """
+    offs = jnp.asarray(ball_offsets(radius))                # (P, 3)
+    in_ball = jnp.sum(offs.astype(jnp.int32) ** 2, axis=1) <= radius ** 2
+    base = seeds_zxy.astype(jnp.int32)                       # (N, 3)
+    pos = base[:, None, :] + offs[None, :, :]                # (N, P, 3)
+    shape = jnp.asarray(im.shape, jnp.int32)
+    inb = jnp.all((pos >= 0) & (pos < shape[None, None]), axis=-1)
+    cpos = jnp.clip(pos, 0, shape[None, None] - 1)
+    flat = im.reshape(-1).astype(jnp.float32)
+    idx = (cpos[..., 0] * im.shape[1] + cpos[..., 1]) * im.shape[2] \
+        + cpos[..., 2]
+    pixels = jnp.take(flat, idx)
+    mask = inb & in_ball[None]
+    return pixels, pos.astype(jnp.float32), mask
+
+
+@partial(jax.jit, static_argnames=("max_neighbors", "radius"))
+def neighbor_lists(seeds_zxy: jnp.ndarray, valid: jnp.ndarray,
+                   max_neighbors: int = 12, radius: int = 5):
+    """For each seed, indices of up to K other valid seeds within 2r
+    (the interaction range of the Voronoi ownership and subtract-refit,
+    reference iter_fit :612 rsearch=2r).  Returns (idx (N,K), nmask (N,K))."""
+    n = seeds_zxy.shape[0]
+    d2 = jnp.sum((seeds_zxy[:, None].astype(jnp.float32)
+                  - seeds_zxy[None].astype(jnp.float32)) ** 2, axis=-1)
+    both = valid[:, None] & valid[None, :]
+    d2 = jnp.where(both, d2, jnp.inf)
+    d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
+    within = d2 <= (2.0 * radius) ** 2
+    # take K nearest
+    neg = jnp.where(within, -d2, -jnp.inf)
+    vals, idx = jax.lax.top_k(neg, min(max_neighbors, n))    # (N, K)
+    nmask = jnp.isfinite(vals)
+    return idx, nmask
+
+
+def ownership_mask(coords: jnp.ndarray, seed: jnp.ndarray,
+                   neighbor_seeds: jnp.ndarray,
+                   nmask: jnp.ndarray) -> jnp.ndarray:
+    """Voronoi ownership: pixel belongs to `seed` iff no valid neighbor is
+    strictly closer (reference closest_faster :422-424)."""
+    d_own = jnp.sum((coords - seed[None].astype(jnp.float32)) ** 2, axis=-1)
+    d_nb = jnp.sum((coords[:, None] -
+                    neighbor_seeds[None].astype(jnp.float32)) ** 2, axis=-1)
+    d_nb = jnp.where(nmask[None], d_nb, jnp.inf)
+    return d_own <= jnp.min(d_nb, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Full iterative fitting pipeline
+# ---------------------------------------------------------------------------
+
+
+class FitResult(NamedTuple):
+    spots: jnp.ndarray       # (N, 11) natural-parameter rows
+    valid: jnp.ndarray       # (N,) bool
+    converged: jnp.ndarray   # (N,) bool — center moved < tol in last round
+    n_rounds: jnp.ndarray    # () int32
+
+
+@partial(jax.jit, static_argnames=(
+    "radius", "min_w", "max_w", "init_w", "min_delta_center",
+    "max_delta_center", "lm_iters", "n_max_iter", "max_dist_th",
+    "max_neighbors"))
+def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
+                         seeds_valid: jnp.ndarray,
+                         radius: int = 5,
+                         min_w: float = 0.5, max_w: float = 4.0,
+                         init_w: float = 1.5,
+                         min_delta_center: float = 1.0,
+                         max_delta_center: float = 2.5,
+                         lm_iters: int = 30,
+                         n_max_iter: int = 10,
+                         max_dist_th: float = 0.1,
+                         max_neighbors: int = 12) -> FitResult:
+    """Fit all seeds concurrently with block-synchronous subtract-refit.
+
+    Round 0 mirrors the reference `firstfit` (ownership-masked pixels,
+    delta_center=min_delta_center); later rounds mirror `repeatfit`
+    (full ball, neighbors' reconstructions subtracted,
+    delta_center=max_delta_center), iterated a fixed n_max_iter times with
+    per-spot convergence tracking (center step < max_dist_th).
+    """
+    imf = im.astype(jnp.float32)
+    n = seeds_zxy.shape[0]
+    pixels, coords, base_mask = gather_blocks(imf, seeds_zxy, radius)
+    base_mask = base_mask & seeds_valid[:, None]
+    nidx, nmask = neighbor_lists(seeds_zxy, seeds_valid,
+                                 max_neighbors=max_neighbors, radius=radius)
+    centers_est = seeds_zxy.astype(jnp.float32)
+
+    own = jax.vmap(ownership_mask)(coords, seeds_zxy,
+                                   seeds_zxy[nidx], nmask)
+
+    # ---- round 0: firstfit
+    fit0 = jax.vmap(lambda px, co, mk, ce: lm_fit_single(
+        px, co, mk, ce, min_delta_center, min_w, max_w, init_w, lm_iters))
+    params, eps = fit0(pixels, coords, base_mask & own, centers_est)
+
+    def natural(p, ce, e, delta):
+        return to_natural(p, ce, delta, min_w, max_w, e)
+
+    nat0 = jax.vmap(lambda p, ce, e: natural(p, ce, e, min_delta_center))(
+        params, centers_est, eps)
+
+    def recon_at(coords_i, nat_rows, which, wmask):
+        """Sum of neighbors' peak reconstructions at this spot's pixels.
+
+        nat_rows: (N, 11); which: (K,) neighbor ids; wmask: (K,) validity."""
+        nb = nat_rows[which]                                  # (K, 11)
+
+        def one(row, ok):
+            h, c1, c2, c3 = row[0], row[1], row[2], row[3]
+            wz, wx, wy = row[5], row[6], row[7]
+            sin_t, sin_p = row[8], row[9]
+            s1 = 1.0 / jnp.maximum(wz * wz, 1e-6)
+            s2 = 1.0 / jnp.maximum(wx * wx, 1e-6)
+            s3 = 1.0 / jnp.maximum(wy * wy, 1e-6)
+            a11, a22, a33, a12, a13, a23 = _quadform_coeffs(
+                sin_t, sin_p, s1, s2, s3)
+            d = coords_i - jnp.stack([c1, c2, c3])[None]
+            q = (a11 * d[:, 0] ** 2 + a22 * d[:, 1] ** 2 + a33 * d[:, 2] ** 2
+                 + a12 * d[:, 0] * d[:, 1] + a13 * d[:, 0] * d[:, 2]
+                 + a23 * d[:, 1] * d[:, 2])
+            return jnp.where(ok, h * jnp.exp(-0.5 * q), 0.0)
+
+        return jnp.sum(jax.vmap(one)(nb, wmask), axis=0)
+
+    # rebase round-0 params into the wider repeatfit center box so later
+    # rounds warm-start from the current solution
+    params = jax.vmap(lambda p, ce: rebase_center_params(
+        p, ce, min_delta_center, max_delta_center))(params, centers_est)
+    repeat_iters = max(8, lm_iters // 3)
+
+    # ---- rounds 1..n_max_iter: block-synchronous repeatfit
+    def round_body(state):
+        i, nat, params_prev, eps_prev, converged = state
+        sub = jax.vmap(recon_at, in_axes=(0, None, 0, 0))(
+            coords, nat, nidx, nmask)
+        target = pixels - sub
+        fitk = jax.vmap(lambda px, co, mk, ce, p0: lm_fit_single(
+            px, co, mk, ce, max_delta_center, min_w, max_w, init_w,
+            repeat_iters, params0=p0))
+        new_params, new_eps = fitk(target, coords, base_mask, centers_est,
+                                   params_prev)
+        new_nat = jax.vmap(
+            lambda p, ce, e: natural(p, ce, e, max_delta_center))(
+            new_params, centers_est, new_eps)
+        moved2 = jnp.sum((new_nat[:, 1:4] - nat[:, 1:4]) ** 2, axis=1)
+        new_converged = moved2 < max_dist_th ** 2
+        return i + 1, new_nat, new_params, new_eps, new_converged
+
+    def round_cond(state):
+        i, _, _, _, converged = state
+        return (i < n_max_iter) & ~jnp.all(converged | ~seeds_valid)
+
+    i0 = jnp.int32(0)
+    conv0 = jnp.zeros(n, bool)
+    i_final, nat, params, eps, converged = jax.lax.while_loop(
+        round_cond, round_body, (i0, nat0, params, eps, conv0))
+
+    # validity: seed valid, finite row, center strictly inside image
+    finite = jnp.all(jnp.isfinite(nat), axis=1)
+    inside = jnp.all((nat[:, 1:4] > 0)
+                     & (nat[:, 1:4] < jnp.asarray(imf.shape,
+                                                  jnp.float32)[None]),
+                     axis=1)
+    enough_px = jnp.sum(base_mask.astype(jnp.int32), axis=1) > 10
+    valid = seeds_valid & finite & inside & enough_px
+    return FitResult(spots=nat, valid=valid, converged=converged,
+                     n_rounds=i_final)
+
+
+def fit_fov_image(im: jnp.ndarray,
+                  seeds: Optional[Seeds] = None,
+                  max_num_seeds: int = 512,
+                  th_seed: float = 300.0,
+                  radius: int = 5,
+                  lm_iters: int = 30,
+                  n_max_iter: int = 10,
+                  **seed_kwargs) -> FitResult:
+    """Seed + iteratively fit one image (reference spot_tools/fitting.py:169).
+
+    Returns a fixed-capacity FitResult; rows are the reference 11-column
+    spot format [h, z, x, y, bk, wz, wx, wy, sin_t, sin_p, eps].
+    """
+    if seeds is None:
+        seeds = get_seeds(im, max_num_seeds=max_num_seeds, th_seed=th_seed,
+                          **seed_kwargs)
+    return iter_fit_seed_points(im, seeds.coords.astype(jnp.float32),
+                                seeds.valid, radius=radius,
+                                lm_iters=lm_iters, n_max_iter=n_max_iter)
