@@ -1,0 +1,198 @@
+"""Zhuang-lab .dax movie format: reader, writer, channel de-interleave.
+
+Behavior targets (reference ImageAnalysis3):
+  * .inf parsing + movie load   visual_tools.py:974-1083 (DaxReader)
+  * .dax writing                io_tools/data.py:117-160 (DaxWriter)
+  * frame/color accounting      io_tools/load.py:17-45 (get_num_frame)
+  * channel de-interleave       io_tools/load.py:524-550 (split_im_by_channels)
+
+Format: raw uint16 frames (frames, width, height), optionally big-endian,
+with a text `.inf` sidecar carrying dimensions/frame-count/endianness and
+stage metadata.  Channels are interleaved frame-by-frame after
+`num_buffer_frames` warm-up frames (and again before trailing buffer
+frames): frame index f belongs to channel (f - buffer - empty) mod C.
+
+Host-side NumPy; `read_dax(memmap=True)` returns a zero-copy view so the
+de-interleave slices feed the device without a full host copy.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+
+@dataclass
+class DaxMetadata:
+    """Parsed .inf sidecar."""
+
+    number_frames: int
+    image_width: int       # second .inf dimension (columns)
+    image_height: int      # first .inf dimension (rows)
+    big_endian: bool = False
+    stage_x: Optional[float] = None
+    stage_y: Optional[float] = None
+    lock_target: Optional[float] = None
+    scale_min: Optional[int] = None
+    scale_max: Optional[int] = None
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def frame_shape(self) -> Tuple[int, int]:
+        return (self.image_height, self.image_width)
+
+    def to_inf_text(self) -> str:
+        # the canonical sidecar spells endianness as "(binary, big endian)";
+        # the reference regex requires the space before big|little
+        # (visual_tools.py:994)
+        endian = "big endian" if self.big_endian else "little endian"
+        lines = [
+            f"binary types = 16 bit integers (binary, {endian})",
+            f"frame dimensions = {self.image_height} x {self.image_width}",
+            f"number of frames = {self.number_frames}",
+            f"data type = 16 bit integers (binary, {endian})",
+        ]
+        if self.stage_x is not None:
+            lines.append(f"Stage X = {self.stage_x}")
+        if self.stage_y is not None:
+            lines.append(f"Stage Y = {self.stage_y}")
+        if self.lock_target is not None:
+            lines.append(f"Lock Target = {self.lock_target}")
+        if self.scale_max is not None:
+            lines.append(f"scalemax = {self.scale_max}")
+        if self.scale_min is not None:
+            lines.append(f"scalemin = {self.scale_min}")
+        return "\n".join(lines) + "\n"
+
+
+_SIZE_RE = re.compile(r"frame dimensions = (\d+) x (\d+)")
+_LEN_RE = re.compile(r"number of frames = (\d+)")
+_ENDIAN_RE = re.compile(r" (big|little) endian")
+_STAGEX_RE = re.compile(r"Stage X = ([\d.\-]+)")
+_STAGEY_RE = re.compile(r"Stage Y = ([\d.\-]+)")
+_LOCK_RE = re.compile(r"Lock Target = ([\d.\-]+)")
+_SMAX_RE = re.compile(r"scalemax = ([\d.\-]+)")
+_SMIN_RE = re.compile(r"scalemin = ([\d.\-]+)")
+
+
+def inf_path_of(dax_filename: str) -> str:
+    base, _ = os.path.splitext(dax_filename)
+    return base + ".inf"
+
+
+def read_inf(path: str) -> DaxMetadata:
+    """Parse a .inf sidecar (accepts the .dax path too).
+
+    Regex semantics match reference visual_tools.py:992-1032.
+    """
+    if path.endswith(".dax"):
+        path = inf_path_of(path)
+    meta = DaxMetadata(number_frames=0, image_width=256, image_height=256)
+    with open(path, "r") as fh:
+        for line in fh:
+            m = _SIZE_RE.match(line)
+            if m:
+                meta.image_height = int(m.group(1))
+                meta.image_width = int(m.group(2))
+            m = _LEN_RE.match(line)
+            if m:
+                meta.number_frames = int(m.group(1))
+            m = _ENDIAN_RE.search(line)
+            if m:
+                meta.big_endian = m.group(1) == "big"
+            for regex, attr, cast in ((_STAGEX_RE, "stage_x", float),
+                                      (_STAGEY_RE, "stage_y", float),
+                                      (_LOCK_RE, "lock_target", float),
+                                      (_SMAX_RE, "scale_max", int),
+                                      (_SMIN_RE, "scale_min", int)):
+                m = regex.match(line)
+                if m:
+                    setattr(meta, attr, cast(m.group(1)))
+    return meta
+
+
+def read_dax(filename: str, meta: Optional[DaxMetadata] = None,
+             memmap: bool = True) -> Tuple[np.ndarray, DaxMetadata]:
+    """Load a .dax movie -> ((frames, H, W) uint16 array-or-memmap, meta)."""
+    if meta is None:
+        meta = read_inf(filename)
+    dtype = ">u2" if meta.big_endian else "<u2"
+    shape = (meta.number_frames,) + meta.frame_shape
+    if memmap:
+        data = np.memmap(filename, dtype=dtype, mode="r", shape=shape)
+    else:
+        data = np.fromfile(filename, dtype=dtype).reshape(shape)
+    return data, meta
+
+
+def write_dax(filename: str, movie: np.ndarray,
+              big_endian: bool = False, **meta_kwargs) -> DaxMetadata:
+    """Write (frames, H, W) uint16 movie + its .inf sidecar.
+
+    Behavior target: io_tools/data.py:117-160 (DaxWriter).
+    """
+    movie = np.asarray(movie)
+    if movie.ndim != 3:
+        raise ValueError(f"movie must be (frames, H, W), got {movie.shape}")
+    out = movie.astype(">u2" if big_endian else "<u2")
+    out.tofile(filename)
+    meta = DaxMetadata(number_frames=movie.shape[0],
+                       image_height=movie.shape[1],
+                       image_width=movie.shape[2],
+                       big_endian=big_endian, **meta_kwargs)
+    with open(inf_path_of(filename), "w") as fh:
+        fh.write(meta.to_inf_text())
+    return meta
+
+
+def get_num_frames_and_colors(dax_filename: str, frame_per_color: int = 30,
+                              buffer_frames: int = 10,
+                              empty_frames: int = 0
+                              ) -> Tuple[Tuple[int, int, int], int]:
+    """((frames, H, W), n_colors) from the .inf accounting
+    (reference io_tools/load.py:17-45)."""
+    meta = read_inf(dax_filename)
+    usable = meta.number_frames - 2 * buffer_frames - empty_frames
+    n_color = usable / frame_per_color
+    if n_color != int(n_color):
+        raise ValueError(
+            f"frame count {meta.number_frames} does not decompose into "
+            f"{frame_per_color} frames/color with {buffer_frames} buffer + "
+            f"{empty_frames} empty frames")
+    return (meta.number_frames, *meta.frame_shape), int(n_color)
+
+
+def split_channels(movie: np.ndarray,
+                   sel_channels: Sequence[Union[str, int]],
+                   all_channels: Sequence[Union[str, int]],
+                   n_z: int = 30,
+                   buffer_frames: int = 10,
+                   empty_frames: int = 0,
+                   skip_frame0: bool = False) -> List[np.ndarray]:
+    """De-interleave selected channels out of a raw movie.
+
+    Channel at index i starts at frame buffer+empty + (i - buffer - empty)
+    mod C and strides by C for n_z frames (reference io_tools/load.py:
+    524-550, including its start-offset arithmetic and skip_frame0).
+    """
+    all_ch = [str(c) for c in all_channels]
+    sel_ch = [str(c) for c in ([sel_channels] if isinstance(
+        sel_channels, (str, int)) else sel_channels)]
+    n_colors = len(all_ch)
+    for ch in sel_ch:
+        if ch not in all_ch:
+            raise ValueError(f"channel {ch} not in {all_ch}")
+    starts = []
+    for ch in sel_ch:
+        i = all_ch.index(ch)
+        s = (empty_frames + buffer_frames
+             + (i - empty_frames - buffer_frames) % n_colors)
+        if skip_frame0 and s == buffer_frames:
+            s += n_colors
+        starts.append(s)
+    return [np.ascontiguousarray(movie[s:s + n_z * n_colors:n_colors])
+            for s in starts]

@@ -1,0 +1,161 @@
+"""Per-FOV HDF5 result store: the pipeline's checkpoint.
+
+Behavior target: the reference's per-FOV `.hdf5` savefile
+(classes/field_of_view.py:374-410, 1160-1708; classes/batch_functions.py:
+305-493): root attrs carry fov_info; one group per data_type ('unique',
+'combo', ...) holding parallel datasets `ids`, `channels`, `flags`,
+`drifts`, `spots`, `raw_spots` (and optionally `ims`); plus `segmentation`
+group.  Flags: 0 = empty, 1 = spots saved with uncorrected coords,
+2 = fully corrected (reference classes/batch_functions.py:348-355).
+
+Differences by design: the reference guards one file with a process-wide
+RLock because many workers mutate it concurrently; here a single controller
+owns the file, so writes are plain h5py calls and resume = reading `flags`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+FLAG_EMPTY = 0
+FLAG_RAW = 1
+FLAG_CORRECTED = 2
+
+_SPOT_COLS = 11
+
+
+class FovStore:
+    """One field of view's persistent results."""
+
+    def __init__(self, path: str, mode: str = "a"):
+        self.path = path
+        self._fh = h5py.File(path, mode)
+
+    # -- lifecycle -------------------------------------------------------
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def flush(self):
+        self._fh.flush()
+
+    # -- fov info --------------------------------------------------------
+
+    def set_fov_info(self, **attrs):
+        for k, v in attrs.items():
+            self._fh.attrs[k] = v
+
+    def get_fov_info(self) -> Dict:
+        return dict(self._fh.attrs)
+
+    # -- data-type groups ------------------------------------------------
+
+    def init_data_type(self, data_type: str, region_ids: Sequence[int],
+                       channels: Sequence[str], spot_capacity: int,
+                       overwrite: bool = False):
+        """Create (or open) a data_type group with per-region rows."""
+        n = len(region_ids)
+        if data_type in self._fh:
+            if not overwrite:
+                return
+            del self._fh[data_type]
+        g = self._fh.create_group(data_type)
+        g.create_dataset("ids", data=np.asarray(region_ids, np.int32))
+        g.create_dataset("channels", data=np.array(
+            [str(c) for c in channels], dtype="S8"))
+        g.create_dataset("flags", data=np.zeros(n, np.int32))
+        g.create_dataset("drifts", data=np.zeros((n, 3), np.float32))
+        g.create_dataset("spots",
+                         shape=(n, spot_capacity, _SPOT_COLS),
+                         dtype=np.float32, fillvalue=np.nan,
+                         chunks=(1, spot_capacity, _SPOT_COLS))
+        g.create_dataset("raw_spots",
+                         shape=(n, spot_capacity, _SPOT_COLS),
+                         dtype=np.float32, fillvalue=np.nan,
+                         chunks=(1, spot_capacity, _SPOT_COLS))
+        g.create_dataset("n_spots", data=np.zeros(n, np.int32))
+
+    def data_types(self) -> List[str]:
+        return [k for k in self._fh.keys() if k != "segmentation"]
+
+    def region_index(self, data_type: str, region_id: int) -> int:
+        ids = self._fh[data_type]["ids"][:]
+        idx = np.where(ids == region_id)[0]
+        if len(idx) == 0:
+            raise KeyError(f"region {region_id} not in {data_type}")
+        return int(idx[0])
+
+    # -- writes ----------------------------------------------------------
+
+    def save_spots(self, data_type: str, region_id: int,
+                   spots: np.ndarray, raw_spots: Optional[np.ndarray],
+                   drift: np.ndarray, flag: int = FLAG_CORRECTED):
+        g = self._fh[data_type]
+        i = self.region_index(data_type, region_id)
+        cap = g["spots"].shape[1]
+        n = min(len(spots), cap)
+        buf = np.full((cap, _SPOT_COLS), np.nan, np.float32)
+        buf[:n] = np.asarray(spots[:n], np.float32)
+        g["spots"][i] = buf
+        if raw_spots is not None:
+            rbuf = np.full((cap, _SPOT_COLS), np.nan, np.float32)
+            rbuf[:n] = np.asarray(raw_spots[:n], np.float32)
+            g["raw_spots"][i] = rbuf
+        g["drifts"][i] = np.asarray(drift, np.float32)
+        g["flags"][i] = flag
+        g["n_spots"][i] = n
+
+    # -- reads / resume --------------------------------------------------
+
+    def flags(self, data_type: str) -> np.ndarray:
+        return self._fh[data_type]["flags"][:]
+
+    def pending_regions(self, data_type: str,
+                        required_flag: int = FLAG_CORRECTED) -> np.ndarray:
+        """Region ids still needing processing (the resume check the
+        reference does per-task, classes/field_of_view.py:1453-1522)."""
+        g = self._fh[data_type]
+        mask = g["flags"][:] < required_flag
+        return g["ids"][:][mask]
+
+    def load_spots(self, data_type: str, region_id: int
+                   ) -> Tuple[np.ndarray, np.ndarray, int]:
+        g = self._fh[data_type]
+        i = self.region_index(data_type, region_id)
+        n = int(g["n_spots"][i])
+        return (g["spots"][i, :n], g["drifts"][i][:], int(g["flags"][i]))
+
+    def load_all_spots(self, data_type: str) -> Dict[int, np.ndarray]:
+        g = self._fh[data_type]
+        out = {}
+        for i, rid in enumerate(g["ids"][:]):
+            n = int(g["n_spots"][i])
+            if int(g["flags"][i]) > FLAG_EMPTY:
+                out[int(rid)] = g["spots"][i, :n]
+        return out
+
+    # -- segmentation ----------------------------------------------------
+
+    def save_segmentation(self, label_im: np.ndarray, **attrs):
+        if "segmentation" in self._fh:
+            del self._fh["segmentation"]
+        g = self._fh.create_group("segmentation")
+        g.create_dataset("labels", data=np.asarray(label_im),
+                         compression="gzip", compression_opts=1)
+        for k, v in attrs.items():
+            g.attrs[k] = v
+
+    def load_segmentation(self) -> Optional[np.ndarray]:
+        if "segmentation" not in self._fh:
+            return None
+        return self._fh["segmentation"]["labels"][:]

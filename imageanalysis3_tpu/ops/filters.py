@@ -182,9 +182,13 @@ def counting_median(im: jnp.ndarray, bits: int = 18,
     # fixed-point scale: value = code / 4  (quarter-integer grid)
     scale = 4.0
     codes = jnp.floor(imf * scale + 0.5).astype(jnp.int32)
-    red_shape = [s for i, s in enumerate(im.shape) if i not in axis]
-    lo = jnp.zeros(red_shape, jnp.int32)
-    hi = jnp.full(red_shape, (1 << bits) - 1, jnp.int32)
+    red_shape = tuple(s for i, s in enumerate(im.shape) if i not in axis)
+    # derive the carry init from the data so it inherits the data's varying
+    # manual axes under shard_map (a plain zeros() breaks the fori_loop
+    # carry-type match inside sharded programs)
+    zero = jnp.min(codes, axis=axis) * 0
+    lo = zero
+    hi = zero + ((1 << bits) - 1)
 
     def body(_, lohi):
         lo, hi = lohi

@@ -186,8 +186,10 @@ def lm_fit_single(pixels: jnp.ndarray, coords: jnp.ndarray,
         return params, lam, cost
 
     cost0 = jnp.sum(residual(params0) ** 2)
+    # lam init derives its varying axes from the data (shard_map-safe)
+    lam0 = cost0 * 0.0 + 1e-3
     params, _, _ = jax.lax.fori_loop(0, lm_iters, step,
-                                     (params0, jnp.float32(1e-3), cost0))
+                                     (params0, lam0, cost0))
     r = residual(params)
     n = jnp.maximum(jnp.sum(maskf), 1.0)
     eps = jnp.sum(jnp.abs(r)) / n
@@ -200,10 +202,13 @@ def lm_fit_single(pixels: jnp.ndarray, coords: jnp.ndarray,
 
 
 def ball_offsets(radius: int) -> np.ndarray:
-    """(P, 3) integer offsets of the (2r)^3 cube, with the reference's
-    asymmetric range [-r, r) (iter_fit :580-583)."""
+    """(P, 3) integer offsets inside the fitting ball, with the reference's
+    asymmetric range [-r, r) and |o| <= r filter (iter_fit :580-583) —
+    packing only in-ball offsets (~pi/6 of the cube) halves all downstream
+    per-pixel work."""
     g = np.indices([2 * radius] * 3).reshape(3, -1).T - radius
-    return g.astype(np.int32)
+    keep = (g ** 2).sum(1) <= radius ** 2
+    return g[keep].astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("radius",))
@@ -214,7 +219,6 @@ def gather_blocks(im: jnp.ndarray, seeds_zxy: jnp.ndarray, radius: int):
     (reference iter_fit :580-608: ball of radius r, in_dim bounds check).
     """
     offs = jnp.asarray(ball_offsets(radius))                # (P, 3)
-    in_ball = jnp.sum(offs.astype(jnp.int32) ** 2, axis=1) <= radius ** 2
     base = seeds_zxy.astype(jnp.int32)                       # (N, 3)
     pos = base[:, None, :] + offs[None, :, :]                # (N, P, 3)
     shape = jnp.asarray(im.shape, jnp.int32)
@@ -224,8 +228,7 @@ def gather_blocks(im: jnp.ndarray, seeds_zxy: jnp.ndarray, radius: int):
     idx = (cpos[..., 0] * im.shape[1] + cpos[..., 1]) * im.shape[2] \
         + cpos[..., 2]
     pixels = jnp.take(flat, idx)
-    mask = inb & in_ball[None]
-    return pixels, pos.astype(jnp.float32), mask
+    return pixels, pos.astype(jnp.float32), inb
 
 
 @partial(jax.jit, static_argnames=("max_neighbors", "radius"))
@@ -369,7 +372,8 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
         return (i < n_max_iter) & ~jnp.all(converged | ~seeds_valid)
 
     i0 = jnp.int32(0)
-    conv0 = jnp.zeros(n, bool)
+    # carry init derives varying axes from the data (shard_map-safe)
+    conv0 = jnp.zeros(n, bool) & seeds_valid
     i_final, nat, params, eps, converged = jax.lax.while_loop(
         round_cond, round_body, (i0, nat0, params, eps, conv0))
 

@@ -40,12 +40,12 @@ class Seeds(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=(
-    "max_num_seeds", "th_seed", "gfilt_size", "background_gfilt_size",
+    "max_num_seeds", "gfilt_size", "background_gfilt_size",
     "filt_size", "min_edge_distance", "use_dynamic_th", "dynamic_niters",
     "min_dynamic_seeds", "remove_hot_pixel", "hot_pixel_th", "cand_capacity"))
 def get_seeds(im: jnp.ndarray,
               max_num_seeds: int = 1024,
-              th_seed: float = 150.0,
+              th_seed=150.0,
               gfilt_size: float = 0.75,
               background_gfilt_size: float = 7.5,
               filt_size: int = 3,

@@ -1,0 +1,97 @@
+"""Dax I/O round-trips and channel de-interleave vs reference arithmetic."""
+
+import os
+
+import numpy as np
+import pytest
+
+from imageanalysis3_tpu.io import (read_inf, read_dax, write_dax,
+                                   split_channels, get_num_frames_and_colors,
+                                   load_color_usage, find_hyb_folders)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_dax_roundtrip(tmp_path, rng, big_endian):
+    movie = rng.integers(0, 65535, size=(7, 32, 48)).astype(np.uint16)
+    path = str(tmp_path / "conv_zscan_00.dax")
+    write_dax(path, movie, big_endian=big_endian, stage_x=123.5,
+              stage_y=-7.25)
+    back, meta = read_dax(path)
+    np.testing.assert_array_equal(np.asarray(back), movie)
+    assert meta.number_frames == 7
+    assert meta.frame_shape == (32, 48)
+    assert meta.big_endian == big_endian
+    assert meta.stage_x == 123.5 and meta.stage_y == -7.25
+    # non-memmap path too
+    back2, _ = read_dax(path, memmap=False)
+    np.testing.assert_array_equal(back2, movie)
+
+
+def test_frame_accounting(tmp_path, rng):
+    n_z, n_colors, buffer = 6, 3, 4
+    frames = n_z * n_colors + 2 * buffer
+    movie = rng.integers(0, 65535, size=(frames, 16, 16)).astype(np.uint16)
+    path = str(tmp_path / "fov.dax")
+    write_dax(path, movie)
+    shape, colors = get_num_frames_and_colors(path, frame_per_color=n_z,
+                                              buffer_frames=buffer)
+    assert shape == (frames, 16, 16)
+    assert colors == n_colors
+    with pytest.raises(ValueError):
+        get_num_frames_and_colors(path, frame_per_color=5,
+                                  buffer_frames=buffer)
+
+
+def test_split_channels_reference_arithmetic(rng):
+    """The de-interleave must reproduce the reference start-frame formula
+    (io_tools/load.py:538-540) including buffer-frame phase wrap."""
+    n_z, buffer = 5, 10
+    all_ch = ["750", "647", "561"]
+    frames = n_z * 3 + 2 * buffer
+    # encode (channel, z) into pixel values for exact provenance
+    movie = np.zeros((frames, 4, 4), np.uint16)
+    for f in range(frames):
+        movie[f] = f
+    ims = split_channels(movie, all_ch, all_ch, n_z=n_z,
+                         buffer_frames=buffer)
+    for i, im in enumerate(ims):
+        start = buffer + (i - buffer) % 3
+        expect = np.arange(start, start + n_z * 3, 3)
+        np.testing.assert_array_equal(im[:, 0, 0], expect)
+    # skip_frame0 moves a channel that starts exactly at the buffer edge
+    ims2 = split_channels(movie, ["750"], all_ch, n_z=n_z - 1,
+                          buffer_frames=buffer, skip_frame0=True)
+    start0 = buffer + (0 - buffer) % 3
+    if start0 == buffer:
+        start0 += 3
+    np.testing.assert_array_equal(ims2[0][:, 0, 0],
+                                  np.arange(start0, start0 + (n_z - 1) * 3, 3))
+
+
+def test_color_usage_and_folders(tmp_path):
+    cu_text = ("Hyb,750,647,561,488,405\n"
+               "H0R0,u1,u2,beads,,DAPI\n"
+               "H1R1,u3,u4,beads,,\n"
+               "H2R2,c1,c2,beads,,\n")
+    (tmp_path / "Color_Usage.csv").write_text(cu_text)
+    cu = load_color_usage(str(tmp_path))
+    assert cu.channels == ["750", "647", "561", "488", "405"]
+    assert cu.has_dapi
+    assert cu.bead_channel_index() == 2
+    assert cu.dapi_channel_index() == 4
+    assert cu.regions_of("H1R1") == {0: "u3", 1: "u4"}
+    assert list(cu.usage) == ["H0R0", "H1R1", "H2R2"]
+
+    # folder scan: H-prefixed dirs with dax files, numeric ordering
+    for name in ["H0R0", "H2R2", "H10R10", "H1R1", "Analysis"]:
+        d = tmp_path / name
+        d.mkdir()
+        if name != "Analysis":
+            write_dax(str(d / "Conv_zscan_01.dax"),
+                      np.zeros((2, 4, 4), np.uint16))
+            write_dax(str(d / "Conv_zscan_00.dax"),
+                      np.zeros((2, 4, 4), np.uint16))
+    folders, fovs = find_hyb_folders(str(tmp_path))
+    names = [os.path.basename(f) for f in folders]
+    assert names == ["H0R0", "H1R1", "H2R2", "H10R10"]
+    assert fovs == ["Conv_zscan_00.dax", "Conv_zscan_01.dax"]
