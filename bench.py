@@ -7,14 +7,46 @@ full per-FOV step — fused corrections (hot-pixel, z-shift, illumination),
 8-crop drift consensus vs a reference round, dynamic-threshold seeding, and
 batched LM Gaussian fitting at 2048-spot capacity — and prints one JSON
 line; `vs_baseline` is stacks/sec/chip divided by the 2.5 per-chip target.
+
+HBM discipline (round-1 failure was RESOURCE_EXHAUSTED): exactly one FOV
+program is in flight at a time, the raw stack buffer is donated to the
+program (pipeline/fov.py donate_argnums), and each timed iteration blocks
+before the next dispatch.  A per-stage breakdown (correct / drift / fit)
+is reported in `extra` so regressions are diagnosable.
 """
 
 import json
-import os
-import sys
 import time
 
 import numpy as np
+
+
+def _stage_breakdown(pipe, raw, ref_im, n_iter=2):
+    """Median wall time per pipeline stage, seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    ims = jnp.asarray(raw[None])
+    corrected = pipe.correct_jit(ims)
+    jax.block_until_ready(corrected)
+    th = pipe.seed_thresholds
+
+    stages = {
+        "correct": lambda: pipe.correct_jit(ims),
+        "drift": lambda: pipe.drift_jit(corrected[0], ref_im),
+        "fit": lambda: pipe.fit_jit(corrected[0], th[0]),
+    }
+    out = {}
+    for name, fn in stages.items():
+        jax.block_until_ready(fn())  # compile
+        ts = []
+        for _ in range(n_iter):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(float(np.median(ts)), 4)
+    del corrected
+    return out
 
 
 def main():
@@ -38,6 +70,7 @@ def main():
     raw = syn.poisson_camera_noise(im * prof[None], rng).astype(np.uint16)
     ref_raw = syn.poisson_camera_noise(im * prof[None], rng
                                        ).astype(np.uint16)
+    del im
 
     cfg = ExperimentConfig(
         image_size=shape,
@@ -53,28 +86,14 @@ def main():
 
     ref_im = pipe.correct_reference(ref_raw[None])
     jax.block_until_ready(ref_im)
+    del ref_raw
 
-    ims_dev = jnp.asarray(raw[None])
-    # compile
-    res = pipe.process_round(ims_dev, ref_im)
+    # compile once (input donated; re-upload per call)
+    res = pipe.process_round(jnp.asarray(raw[None]), ref_im)
     jax.block_until_ready(res)
 
-    # timed: fresh device inputs each iteration (axon caches repeat calls)
-    n_iter = 3
-    variants = [jnp.asarray((raw.astype(np.int32) + k) .astype(np.uint16)[None])
-                for k in range(n_iter)]
-    for v in variants:
-        jax.block_until_ready(v)
-    t0 = time.time()
-    outs = []
-    for v in variants:
-        outs.append(pipe.process_round(v, ref_im))
-    jax.block_until_ready(outs)
-    dt = (time.time() - t0) / n_iter
-    stacks_per_sec = 1.0 / dt
-
-    # accuracy spot-check vs planted truth
-    res = outs[-1]
+    # accuracy spot-check vs planted truth (before timing, so the result
+    # buffers are freed by the timed loop)
     spots = np.asarray(res.spots[0])
     valid = np.asarray(res.valid[0])
     got = spots[valid][:, 1:4]
@@ -84,6 +103,27 @@ def main():
         if d < 1.0:
             errs.append(d)
     med_err = float(np.median(errs)) if errs else float("nan")
+    n_valid = int(valid.sum())
+    del res, spots
+
+    # timed: one stack in flight at a time; device upload per iteration is
+    # untimed (a real pipeline overlaps host->device transfer with compute)
+    n_iter = 4
+    variants = [np.clip(raw.astype(np.int32) + k, 0, 65535
+                        ).astype(np.uint16)[None] for k in range(n_iter)]
+    times = []
+    for v in variants:
+        v_dev = jax.device_put(jnp.asarray(v))
+        jax.block_until_ready(v_dev)
+        t0 = time.perf_counter()
+        out = pipe.process_round(v_dev, ref_im)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+        del out, v_dev
+    dt = float(np.median(times))
+    stacks_per_sec = 1.0 / dt
+
+    breakdown = _stage_breakdown(pipe, raw, ref_im)
 
     target_per_chip = 20.0 / 8.0
     out = {
@@ -93,7 +133,8 @@ def main():
         "vs_baseline": round(stacks_per_sec / target_per_chip, 4),
         "extra": {
             "seconds_per_stack": round(dt, 4),
-            "n_valid_spots": int(valid.sum()),
+            "stage_seconds": breakdown,
+            "n_valid_spots": n_valid,
             "median_centroid_err_px": round(med_err, 5),
             "n_devices": len(jax.devices()),
             "device": str(jax.devices()[0]),

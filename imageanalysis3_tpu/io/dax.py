@@ -69,14 +69,16 @@ class DaxMetadata:
         return "\n".join(lines) + "\n"
 
 
-_SIZE_RE = re.compile(r"frame dimensions = (\d+) x (\d+)")
-_LEN_RE = re.compile(r"number of frames = (\d+)")
-_ENDIAN_RE = re.compile(r" (big|little) endian")
-_STAGEX_RE = re.compile(r"Stage X = ([\d.\-]+)")
-_STAGEY_RE = re.compile(r"Stage Y = ([\d.\-]+)")
-_LOCK_RE = re.compile(r"Lock Target = ([\d.\-]+)")
-_SMAX_RE = re.compile(r"scalemax = ([\d.\-]+)")
-_SMIN_RE = re.compile(r"scalemin = ([\d.\-]+)")
+# whitespace-tolerant: real Hal-generated sidecars vary the spacing around
+# '=' and 'x', which the reference's exact-match regexes silently miss
+_SIZE_RE = re.compile(r"frame dimensions\s*=\s*(\d+)\s*x\s*(\d+)")
+_LEN_RE = re.compile(r"number of frames\s*=\s*(\d+)")
+_ENDIAN_RE = re.compile(r"\s(big|little)\s+endian")
+_STAGEX_RE = re.compile(r"Stage X\s*=\s*([\d.\-]+)")
+_STAGEY_RE = re.compile(r"Stage Y\s*=\s*([\d.\-]+)")
+_LOCK_RE = re.compile(r"Lock Target\s*=\s*([\d.\-]+)")
+_SMAX_RE = re.compile(r"scalemax\s*=\s*([\d.\-]+)")
+_SMIN_RE = re.compile(r"scalemin\s*=\s*([\d.\-]+)")
 
 
 def inf_path_of(dax_filename: str) -> str:
@@ -112,6 +114,8 @@ def read_inf(path: str) -> DaxMetadata:
                 m = regex.match(line)
                 if m:
                     setattr(meta, attr, cast(m.group(1)))
+    if meta.number_frames == 0:
+        raise ValueError(f"no 'number of frames' entry parsed from {path}")
     return meta
 
 
@@ -196,3 +200,30 @@ def split_channels(movie: np.ndarray,
         starts.append(s)
     return [np.ascontiguousarray(movie[s:s + n_z * n_colors:n_colors])
             for s in starts]
+
+
+def interleave_channels(stacks: Sequence[np.ndarray],
+                        buffer_frames: int = 10,
+                        empty_frames: int = 0) -> np.ndarray:
+    """Inverse of :func:`split_channels`: per-channel (Z, H, W) stacks ->
+    one interleaved movie with warm-up/trailing buffer frames.
+
+    Frame ``buffer + k`` carries channel ``(k + buffer) % C`` so that the
+    reference's start-offset arithmetic (io_tools/load.py:538-540)
+    de-interleaves it back exactly; buffer frames repeat the first/last
+    frames.  Used by the synthetic-experiment factory and round-trip tests.
+    """
+    stacks = [np.asarray(s) for s in stacks]
+    c = len(stacks)
+    n_z = stacks[0].shape[0]
+    frame_shape = stacks[0].shape[1:]
+    total = empty_frames + buffer_frames + n_z * c + buffer_frames
+    movie = np.zeros((total,) + frame_shape, dtype=stacks[0].dtype)
+    base = empty_frames + buffer_frames
+    for k in range(n_z * c):
+        ch = (k + base) % c
+        z = k // c
+        movie[base + k] = stacks[ch][z]
+    movie[:base] = movie[base]
+    movie[base + n_z * c:] = movie[base + n_z * c - 1]
+    return movie

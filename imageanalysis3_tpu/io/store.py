@@ -75,6 +75,10 @@ class FovStore:
             [str(c) for c in channels], dtype="S8"))
         g.create_dataset("flags", data=np.zeros(n, np.int32))
         g.create_dataset("drifts", data=np.zeros((n, 3), np.float32))
+        # drift quality: 0 = crop consensus, 1 = fallback (suspicious) —
+        # the reference's first-class drift outcome
+        # (correction_tools/alignment.py:676-693)
+        g.create_dataset("drift_flags", data=np.zeros(n, np.int32))
         g.create_dataset("spots",
                          shape=(n, spot_capacity, _SPOT_COLS),
                          dtype=np.float32, fillvalue=np.nan,
@@ -99,7 +103,8 @@ class FovStore:
 
     def save_spots(self, data_type: str, region_id: int,
                    spots: np.ndarray, raw_spots: Optional[np.ndarray],
-                   drift: np.ndarray, flag: int = FLAG_CORRECTED):
+                   drift: np.ndarray, flag: int = FLAG_CORRECTED,
+                   drift_flag: int = 0):
         g = self._fh[data_type]
         i = self.region_index(data_type, region_id)
         cap = g["spots"].shape[1]
@@ -113,12 +118,20 @@ class FovStore:
             g["raw_spots"][i] = rbuf
         g["drifts"][i] = np.asarray(drift, np.float32)
         g["flags"][i] = flag
+        if "drift_flags" in g:
+            g["drift_flags"][i] = drift_flag
         g["n_spots"][i] = n
 
     # -- reads / resume --------------------------------------------------
 
     def flags(self, data_type: str) -> np.ndarray:
         return self._fh[data_type]["flags"][:]
+
+    def drift_flags(self, data_type: str) -> np.ndarray:
+        g = self._fh[data_type]
+        if "drift_flags" in g:
+            return g["drift_flags"][:]
+        return np.zeros(len(g["ids"]), np.int32)
 
     def pending_regions(self, data_type: str,
                         required_flag: int = FLAG_CORRECTED) -> np.ndarray:

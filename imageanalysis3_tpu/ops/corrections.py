@@ -100,7 +100,7 @@ def bleedthrough_unmix(ims: jnp.ndarray, profile: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=(
     "hot_pixel", "hot_pixel_th", "hot_pixel_ratio", "z_shift",
     "do_bleedthrough", "do_illumination", "do_highpass",
-    "highpass_sigma", "highpass_truncate", "clip"))
+    "highpass_sigma", "highpass_truncate", "clip", "clip_min", "clip_max"))
 def correct_channel_stack(
     ims: jnp.ndarray,
     bleed_profile: Optional[jnp.ndarray] = None,
@@ -116,6 +116,8 @@ def correct_channel_stack(
     highpass_sigma: float = 3.0,
     highpass_truncate: float = 2.0,
     clip: bool = True,
+    clip_min: float = 0.0,
+    clip_max: float = 65535.0,
 ) -> jnp.ndarray:
     """One fused pass over a `(C, Z, X, Y)` multi-channel stack.
 
@@ -133,12 +135,12 @@ def correct_channel_stack(
     if do_bleedthrough and bleed_profile is not None:
         out = bleedthrough_unmix(out, bleed_profile)
         if clip:
-            out = jnp.clip(out, 0.0, 65535.0)
+            out = jnp.clip(out, clip_min, clip_max)
     if do_illumination and illumination_profile is not None:
         out = out / illumination_profile[:, None].astype(jnp.float32)
     if do_highpass:
         out = jax.vmap(lambda im: gaussian_highpass(
             im, highpass_sigma, highpass_truncate))(out)
     if clip:
-        out = jnp.clip(out, 0.0, 65535.0)
+        out = jnp.clip(out, clip_min, clip_max)
     return out

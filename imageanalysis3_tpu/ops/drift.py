@@ -71,7 +71,8 @@ def _upsampled_argmax(R: jnp.ndarray, center: jnp.ndarray, upsample: float,
 def subpixel_phase_correlation(ref: jnp.ndarray, mov: jnp.ndarray,
                                upsample_factor: int = 100,
                                normalization: Optional[str] = None,
-                               stages: Tuple[int, ...] = (10, 10)) -> jnp.ndarray:
+                               stages: Optional[Tuple[int, ...]] = None
+                               ) -> jnp.ndarray:
     """Shift (zxy, px) required to register `mov` onto `ref`.
 
     Convention matches skimage's ``phase_cross_correlation(ref, mov)``
@@ -79,9 +80,12 @@ def subpixel_phase_correlation(ref: jnp.ndarray, mov: jnp.ndarray,
     ``mov(x) = ref(x - s)`` the returned shift is ``-s``; warping `mov`
     with ``coords - shift`` reproduces `ref` (reference io_tools/load.py:448).
 
-    `stages` are successive sub-pixel refinement factors whose product must
-    reach `upsample_factor`; each stage evaluates the exact band-limited
-    cross-correlation on a (2m+1)^3 grid via matrix DFTs.
+    `stages` are successive sub-pixel refinement factors whose product
+    reaches `upsample_factor`; each stage evaluates the exact band-limited
+    cross-correlation on a (2m+1)^3 grid via matrix DFTs.  By default
+    enough 10x stages are chained to cover any `upsample_factor` (a final
+    partial stage uses the exact remaining factor), so the requested
+    precision is always honored.
 
     `normalization=None` (plain cross-correlation, the reference-era
     skimage default) is the robust choice for *cropped* views: phase
@@ -102,6 +106,15 @@ def subpixel_phase_correlation(ref: jnp.ndarray, mov: jnp.ndarray,
     shift = jnp.where(peak > size / 2, peak - size, peak)
     if upsample_factor <= 1:
         return shift
+    if stages is None:
+        # chain 10x stages until the product covers upsample_factor; the
+        # last stage uses the exact remaining factor so precision is never
+        # silently capped below the request
+        stages, total = [], 1
+        while total < upsample_factor:
+            u = min(10, int(np.ceil(upsample_factor / total)))
+            stages.append(u)
+            total *= u
     # staged refinement: each stage zooms 1/u around the current estimate
     total = 1.0
     est = shift

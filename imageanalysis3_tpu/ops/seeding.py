@@ -15,6 +15,13 @@ which it qualifies, a cumulative histogram over levels picks the level
 reaching `min_dynamic_seeds`, and the xy-duplicate filter is a z-sum
 counting image instead of string matching.  Output is a fixed-capacity seed
 table with a validity count, so downstream fitting has static shapes.
+
+HBM discipline: the filter pyramid (two Gaussians, max/min windows) would
+materialize ~10 full-size f32 intermediates; at 60x2048x2048 that
+exhausts a v5e's 16 GB.  Large images are therefore swept in x-slabs with
+a halo covering the total filter radius (`lax.map` over slabs): per-slab
+working set ~6 x (Z, T+2H, Y) f32, full-size residents only the int8
+level map and f16 height map (0.75 GB total).
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .filters import gaussian_filter, maximum_filter, minimum_filter
 
@@ -39,10 +47,60 @@ class Seeds(NamedTuple):
     saturated: jnp.ndarray  # () bool — candidate capacity overflowed
 
 
+def _level_diff_hist(tile: jnp.ndarray, th_seed, x0, core_x: int,
+                     full_shape, gfilt_size: float,
+                     background_gfilt_size: float, filt_size: int,
+                     min_edge_distance: int, n_lvl: int):
+    """Per-pixel threshold level + signal height for one x-slab.
+
+    `tile`: (Z, core_x + 2*halo, Y) f32 with `halo` columns of valid
+    neighbor data (or boundary padding) on each side; `x0` is the global x
+    index of the first core column.  Returns the core slab's level map
+    (int8; n_lvl = disqualified), its signal heights (f32), and the
+    per-level histogram of qualifying pixels.
+    """
+    halo = (tile.shape[1] - core_x) // 2
+    max_im = gaussian_filter(tile, gfilt_size) if gfilt_size else tile
+    max_ft = maximum_filter(max_im, filt_size) == max_im
+    min_im = (gaussian_filter(tile, background_gfilt_size)
+              if background_gfilt_size else tile)
+    min_ft = minimum_filter(min_im, filt_size) != min_im
+    local_max = max_ft & min_ft
+    diff = max_im - min_im
+    if halo:
+        local_max = local_max[:, halo:-halo]
+        diff = diff[:, halo:-halo]
+
+    z, _, y = full_shape
+    d = min_edge_distance
+    if d > 0:
+        zi = jnp.arange(z)[:, None, None]
+        xi = x0 + jnp.arange(core_x)[None, :, None]
+        yi = jnp.arange(y)[None, None, :]
+        edge_ok = ((zi >= d) & (zi <= z - d)
+                   & (xi >= d) & (xi <= full_shape[1] - d)
+                   & (yi >= d) & (yi <= y - d))
+        qualify = local_max & edge_ok
+    else:
+        qualify = local_max
+
+    # level(p) = smallest i with diff >= th*(1 - i/n); th clamped positive
+    # so th <= 0 degrades to all-local-maxima (the reference's graceful
+    # path) instead of NaN levels
+    th = jnp.maximum(jnp.asarray(th_seed, jnp.float32), 1e-6)
+    frac = 1.0 - diff / th
+    level = jnp.ceil(frac * n_lvl).astype(jnp.int32)
+    level = jnp.clip(level, 0, n_lvl)
+    level = jnp.where(qualify, level, n_lvl)
+    hist = jnp.bincount(level.ravel(), length=n_lvl + 1)[:n_lvl]
+    return level.astype(jnp.int8), diff, hist
+
+
 @partial(jax.jit, static_argnames=(
     "max_num_seeds", "gfilt_size", "background_gfilt_size",
     "filt_size", "min_edge_distance", "use_dynamic_th", "dynamic_niters",
-    "min_dynamic_seeds", "remove_hot_pixel", "hot_pixel_th", "cand_capacity"))
+    "min_dynamic_seeds", "remove_hot_pixel", "hot_pixel_th", "cand_capacity",
+    "slab_x"))
 def get_seeds(im: jnp.ndarray,
               max_num_seeds: int = 1024,
               th_seed=150.0,
@@ -55,46 +113,55 @@ def get_seeds(im: jnp.ndarray,
               min_dynamic_seeds: int = 1,
               remove_hot_pixel: bool = True,
               hot_pixel_th: int = 3,
-              cand_capacity: int = 16384) -> Seeds:
-    """Seed local maxima of `im` (Z, X, Y) -> fixed-capacity table."""
+              cand_capacity: int = 16384,
+              slab_x: int = 256) -> Seeds:
+    """Seed local maxima of `im` (Z, X, Y) -> fixed-capacity table.
+
+    Images whose x extent exceeds ``2 * slab_x`` are processed in
+    halo-overlapped x-slabs (identical results, bounded memory).
+    """
     imf = im.astype(jnp.float32)
     shape = imf.shape
-
-    max_im = gaussian_filter(imf, gfilt_size) if gfilt_size else imf
-    max_ft = maximum_filter(max_im, filt_size) == max_im
-    min_im = (gaussian_filter(imf, background_gfilt_size)
-              if background_gfilt_size else imf)
-    min_ft = minimum_filter(min_im, filt_size) != min_im
-    local_max = max_ft & min_ft
-    diff = max_im - min_im
-
-    # edge mask (reference remove_edge_points: keep distance <= c <= n - distance)
-    d = min_edge_distance
-    if d > 0:
-        zi = jnp.arange(shape[0])[:, None, None]
-        xi = jnp.arange(shape[1])[None, :, None]
-        yi = jnp.arange(shape[2])[None, None, :]
-        edge_ok = ((zi >= d) & (zi <= shape[0] - d)
-                   & (xi >= d) & (xi <= shape[1] - d)
-                   & (yi >= d) & (yi <= shape[2] - d))
-        qualify = local_max & edge_ok
-    else:
-        qualify = local_max
-
     n_lvl = dynamic_niters if use_dynamic_th else 1
-    # level(p) = smallest i with diff >= th*(1 - i/n); level n_lvl-1 is the
-    # weakest threshold the reference would ever try
-    frac = 1.0 - diff / th_seed                       # <= i/n  ->  qualifies
-    level = jnp.ceil(frac * n_lvl).astype(jnp.int32)
-    level = jnp.clip(level, 0, n_lvl)                 # n_lvl = never qualifies
-    level = jnp.where(qualify, level, n_lvl)
-    counts = jnp.bincount(level.ravel(), length=n_lvl + 1)[:n_lvl]
+    assert n_lvl < 127, "dynamic_niters must fit int8 levels"
+
+    # halo: every downstream op's reach from a core pixel
+    def _radius(sigma):
+        return int(4.0 * float(sigma) + 0.5) if sigma else 0
+
+    halo = max(_radius(gfilt_size), _radius(background_gfilt_size)) \
+        + (filt_size // 2)
+
+    args = (th_seed, gfilt_size, background_gfilt_size, filt_size,
+            min_edge_distance, n_lvl)
+
+    if shape[1] > 2 * slab_x and shape[1] % slab_x == 0:
+        n_slab = shape[1] // slab_x
+        padded = jnp.pad(imf, ((0, 0), (halo, halo), (0, 0)),
+                         mode="symmetric")
+
+        def one(i):
+            tile = jax.lax.dynamic_slice(
+                padded, (0, i * slab_x, 0),
+                (shape[0], slab_x + 2 * halo, shape[2]))
+            return _level_diff_hist(tile, args[0], i * slab_x, slab_x,
+                                    shape, *args[1:])
+
+        level, diff, hists = jax.lax.map(one, jnp.arange(n_slab))
+        level = jnp.moveaxis(level, 0, 1).reshape(shape)
+        diff = jnp.moveaxis(diff, 0, 1).reshape(shape)
+        counts = jnp.sum(hists, axis=0)
+    else:
+        level, diff, counts = _level_diff_hist(
+            imf, args[0], 0, shape[1], shape, *args[1:])
+
     cum = jnp.cumsum(counts)
     # chosen level: first reaching min_dynamic_seeds, else the last level
     reach = cum >= min_dynamic_seeds
     chosen = jnp.where(jnp.any(reach), jnp.argmax(reach), n_lvl - 1)
-    chosen_th = th_seed * (1.0 - chosen.astype(jnp.float32) / n_lvl)
-    sel = qualify & (level <= chosen)
+    th = jnp.maximum(jnp.asarray(th_seed, jnp.float32), 1e-6)
+    chosen_th = th * (1.0 - chosen.astype(jnp.float32) / n_lvl)
+    sel = level <= chosen.astype(jnp.int8)
 
     if remove_hot_pixel:
         xy_counts = jnp.sum(sel.astype(jnp.int32), axis=0)   # (X, Y)

@@ -1,0 +1,304 @@
+"""Experiment-level driver: hyb folders of .dax files -> per-FOV spot store.
+
+Behavior targets (reference ImageAnalysis3):
+  * per-(dax, channels) worker       classes/batch_functions.py:60-302
+    (batch_process_image_to_spots: skip-if-done, correct, drift, fit, save)
+  * experiment orchestration         classes/field_of_view.py:901-1158
+    (_process_image_to_spots: folder scan, ref round, task fan-out)
+  * data-type accounting             classes/batch_functions.py:36-57
+    (_color_dic_stat: 'u101' -> unique id 101 on channel '750')
+  * resumability                     classes/field_of_view.py:1453-1522
+    (reprocess only regions whose store flag is below the requested level)
+
+TPU-first design: the reference forks a process per hyb round and guards one
+HDF5 file with locks; here a single controller streams rounds through the
+compiled :class:`FovPipeline` program (one device dispatch per round — the
+device is the parallelism) and owns the store outright, so resume is a pure
+read of the `flags` dataset and there are no locks.  Host .dax reads are
+overlapped with device compute via a one-round readahead.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import (ExperimentConfig, CHANNEL_SEED_THRESHOLDS)
+from ..io.color_usage import ColorUsage, load_color_usage, find_hyb_folders
+from ..io.dax import read_dax, split_channels
+from ..io.store import FovStore, FLAG_CORRECTED
+from .fov import FovPipeline
+
+#: data_type <-> region-id prefix (reference classes/__init__.py:22-32)
+DATA_TYPE_PREFIXES = {
+    "combo": "c",
+    "decoded": "d",
+    "unique": "u",
+    "relabeled_combo": "l",
+    "relabeled_unique": "v",
+    "merfish": "m",
+    "rna": "r",
+    "gene": "g",
+    "protein": "p",
+}
+_PREFIX_TO_TYPE = {v: k for k, v in DATA_TYPE_PREFIXES.items()}
+
+
+def parse_region_entry(info: str) -> Optional[Tuple[str, int]]:
+    """'u101' -> ('unique', 101); beads/DAPI/empty/chrom -> None
+    (reference _color_dic_stat, classes/batch_functions.py:36-57)."""
+    if not info or "chrom" in info:
+        return None
+    prefix = info[0].lower()
+    if prefix not in _PREFIX_TO_TYPE:
+        return None
+    try:
+        return _PREFIX_TO_TYPE[prefix], int(info[1:])
+    except ValueError:
+        return None
+
+
+@dataclass
+class RoundPlan:
+    """One hybridization round of one FOV: what to read, fit, and save."""
+
+    folder: str                          # hyb folder path
+    channels: List[str]                  # channels to de-interleave, in order
+    fit_channel_indices: List[int]       # indices into `channels` to fit
+    regions: List[Tuple[str, int]]       # (data_type, region_id) per fit channel
+    drift_channel_index: int             # index into `channels` (beads)
+
+
+@dataclass
+class StageTimes:
+    """Structured per-stage timing record (SURVEY §5: replaces the
+    reference's `verbose` wall-time prints)."""
+
+    records: List[Dict] = field(default_factory=list)
+
+    def add(self, stage: str, seconds: float, **extra):
+        self.records.append({"stage": stage, "seconds": float(seconds),
+                             **extra})
+
+    def total(self, stage: Optional[str] = None) -> float:
+        return sum(r["seconds"] for r in self.records
+                   if stage is None or r["stage"] == stage)
+
+    def summary(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for r in self.records:
+            out[r["stage"]] = out.get(r["stage"], 0.0) + r["seconds"]
+        return out
+
+
+class ExperimentDriver:
+    """Scan an experiment folder and drive every FOV through the pipeline.
+
+    Parameters
+    ----------
+    data_folder : experiment root holding H*-prefixed hyb folders
+    save_folder : where per-FOV .hdf5 stores are written
+    cfg : ExperimentConfig (image size per channel, correction/drift/seed/fit)
+    color_usage : parsed table; loaded from `data_folder` when omitted
+    ref_folder : hyb folder used as drift reference (default: first)
+    """
+
+    def __init__(self, data_folder: str, save_folder: str,
+                 cfg: Optional[ExperimentConfig] = None,
+                 color_usage: Optional[ColorUsage] = None,
+                 ref_folder: Optional[str] = None,
+                 illumination_profiles: Optional[Dict[str, np.ndarray]] = None,
+                 bleed_profile: Optional[np.ndarray] = None,
+                 chromatic_constants: Optional[Dict[str, np.ndarray]] = None,
+                 spot_capacity: Optional[int] = None,
+                 bead_name: str = "beads"):
+        self.data_folder = data_folder
+        self.save_folder = save_folder
+        os.makedirs(save_folder, exist_ok=True)
+        self.cfg = cfg or ExperimentConfig()
+        self.color_usage = color_usage or load_color_usage(data_folder)
+        self.folders, self.fovs = find_hyb_folders(data_folder)
+        if not self.folders:
+            raise FileNotFoundError(f"no hyb folders under {data_folder}")
+        self.ref_folder = ref_folder or self.folders[0]
+        self.bead_name = bead_name
+        self.illumination_profiles = illumination_profiles or {}
+        self.bleed_profile = bleed_profile
+        self.chromatic_constants = chromatic_constants or {}
+        self.spot_capacity = spot_capacity or self.cfg.seed.max_num_seeds
+        self._pipelines: Dict[Tuple, FovPipeline] = {}
+        self.timings = StageTimes()
+        self._plans = self._build_plans()
+
+    # -- planning ---------------------------------------------------------
+
+    def _folder_key(self, folder: str) -> str:
+        return os.path.basename(folder)
+
+    def _build_plans(self) -> List[RoundPlan]:
+        cu = self.color_usage
+        bead_idx = cu.bead_channel_index(self.bead_name)
+        if bead_idx is None:
+            raise ValueError("Color_Usage has no bead channel; drift needs one")
+        bead_ch = cu.channels[bead_idx]
+        plans = []
+        for folder in self.folders:
+            key = self._folder_key(folder)
+            if key not in cu.usage:
+                continue
+            entries = cu.usage[key]
+            fit_chs, regions = [], []
+            for ch, info in zip(cu.channels, entries):
+                parsed = parse_region_entry(info)
+                if parsed is not None:
+                    fit_chs.append(ch)
+                    regions.append(parsed)
+            if not fit_chs:
+                continue
+            channels = fit_chs + ([bead_ch] if bead_ch not in fit_chs else [])
+            plans.append(RoundPlan(
+                folder=folder, channels=channels,
+                fit_channel_indices=[channels.index(c) for c in fit_chs],
+                regions=regions,
+                drift_channel_index=channels.index(bead_ch)))
+        return plans
+
+    def region_table(self) -> Dict[str, List[Tuple[int, str]]]:
+        """data_type -> (region id, channel) pairs sorted by id
+        (reference _color_dic_stat's sorted ids/channels)."""
+        table: Dict[str, List[Tuple[int, str]]] = {}
+        for plan in self._plans:
+            for (dtype, rid), ci in zip(plan.regions,
+                                        plan.fit_channel_indices):
+                table.setdefault(dtype, []).append((rid, plan.channels[ci]))
+        return {k: sorted(v) for k, v in table.items()}
+
+    # -- pipeline cache ---------------------------------------------------
+
+    def _pipeline_for(self, plan: RoundPlan) -> FovPipeline:
+        key = (tuple(plan.channels), tuple(plan.fit_channel_indices),
+               plan.drift_channel_index)
+        if key in self._pipelines:
+            return self._pipelines[key]
+        n_ch = len(plan.channels)
+        shape = self.cfg.image_size
+        illum = None
+        if self.illumination_profiles:
+            illum = np.stack([
+                self.illumination_profiles.get(
+                    ch, np.ones(shape[1:], np.float32))
+                for ch in plan.channels]).astype(np.float32)
+        chrom = None
+        if self.chromatic_constants:
+            n_mono = next(iter(self.chromatic_constants.values())).shape[-1]
+            chrom = np.zeros((n_ch, 3, n_mono), np.float32)
+            for i, ch in enumerate(plan.channels):
+                if ch in self.chromatic_constants:
+                    chrom[i] = self.chromatic_constants[ch]
+        th = np.array([CHANNEL_SEED_THRESHOLDS.get(ch, self.cfg.seed.th_seed)
+                       for ch in plan.channels], np.float32)
+        pipe = FovPipeline(
+            self.cfg, n_channels=n_ch,
+            drift_channel_index=plan.drift_channel_index,
+            fit_channel_indices=tuple(plan.fit_channel_indices),
+            illumination=illum, bleed=self.bleed_profile,
+            chromatic_constants=chrom, image_shape=shape,
+            seed_thresholds=th)
+        self._pipelines[key] = pipe
+        return pipe
+
+    # -- per-FOV processing ----------------------------------------------
+
+    def store_path(self, fov_name: str) -> str:
+        base = os.path.splitext(fov_name)[0]
+        return os.path.join(self.save_folder, base + ".hdf5")
+
+    def _load_round(self, plan: RoundPlan, fov_name: str) -> np.ndarray:
+        """Read + de-interleave one round's .dax -> (C, Z, X, Y) uint16."""
+        t0 = time.perf_counter()
+        path = os.path.join(plan.folder, fov_name)
+        movie, _meta = read_dax(path)
+        stacks = split_channels(
+            movie, plan.channels, self.color_usage.channels,
+            n_z=self.cfg.image_size[0],
+            buffer_frames=self.cfg.num_buffer_frames,
+            empty_frames=self.cfg.num_empty_frames)
+        out = np.stack(stacks)
+        self.timings.add("load_dax", time.perf_counter() - t0,
+                         folder=self._folder_key(plan.folder))
+        return out
+
+    def _reference_image(self, fov_name: str):
+        """Corrected drift-channel stack of the reference round."""
+        ref_plans = [p for p in self._plans if p.folder == self.ref_folder]
+        plan = ref_plans[0] if ref_plans else self._plans[0]
+        pipe = self._pipeline_for(plan)
+        ims = self._load_round(plan, fov_name)
+        t0 = time.perf_counter()
+        ref_im = pipe.correct_reference(ims)
+        import jax
+        jax.block_until_ready(ref_im)
+        self.timings.add("correct_reference", time.perf_counter() - t0)
+        return ref_im
+
+    def process_fov(self, fov_name: str,
+                    overwrite: bool = False) -> Dict[str, int]:
+        """Run every pending hyb round of one FOV; returns per-data_type
+        counts of regions processed this call (0 everywhere = resume no-op).
+        """
+        import jax
+
+        table = self.region_table()
+        processed = {k: 0 for k in table}
+        with FovStore(self.store_path(fov_name)) as store:
+            store.set_fov_info(fov_name=fov_name,
+                               data_folder=self.data_folder)
+            for dtype, pairs in table.items():
+                store.init_data_type(
+                    dtype, [rid for rid, _ in pairs],
+                    channels=[ch for _, ch in pairs],
+                    spot_capacity=self.spot_capacity,
+                    overwrite=overwrite)
+            pending = {dtype: set(store.pending_regions(dtype).tolist())
+                       for dtype in table}
+            todo = [p for p in self._plans
+                    if any(rid in pending[dt] for dt, rid in p.regions)]
+            if not todo:
+                return processed
+
+            ref_im = self._reference_image(fov_name)
+            for plan in todo:
+                pipe = self._pipeline_for(plan)
+                ims = self._load_round(plan, fov_name)
+                t0 = time.perf_counter()
+                res = pipe.process_round(ims, ref_im)
+                jax.block_until_ready(res)
+                self.timings.add("process_round", time.perf_counter() - t0,
+                                 folder=self._folder_key(plan.folder))
+                t0 = time.perf_counter()
+                drift = np.asarray(res.drift)
+                dflag = int(np.asarray(res.drift_flag))
+                spots = np.asarray(res.spots)
+                raw = np.asarray(res.raw_spots)
+                valid = np.asarray(res.valid)
+                for ci, (dtype, rid) in zip(plan.fit_channel_indices,
+                                            plan.regions):
+                    if rid not in pending[dtype]:
+                        continue
+                    sel = valid[ci]
+                    store.save_spots(dtype, rid, spots[ci][sel],
+                                     raw[ci][sel], drift,
+                                     flag=FLAG_CORRECTED, drift_flag=dflag)
+                    processed[dtype] += 1
+                store.flush()
+                self.timings.add("save", time.perf_counter() - t0)
+        return processed
+
+    def process_all(self, overwrite: bool = False) -> Dict[str, Dict[str, int]]:
+        """Process every FOV in the experiment; returns per-FOV counts."""
+        return {fov: self.process_fov(fov, overwrite=overwrite)
+                for fov in self.fovs}

@@ -126,6 +126,8 @@ class FovPipeline:
                 do_highpass=corr.gaussian_highpass,
                 highpass_sigma=corr.highpass_sigma,
                 highpass_truncate=corr.highpass_truncate,
+                clip_min=corr.clip_min,
+                clip_max=corr.clip_max,
             )
 
         def drift_of(src_im, ref_im):
@@ -167,7 +169,6 @@ class FovPipeline:
                 max_neighbors=fit_cfg.max_neighbors)
             return res.spots, res.valid
 
-        @jax.jit
         def process(ims, ref_im, th_seeds):
             """ims: (C, Z, X, Y) raw; ref_im: (Z, X, Y) corrected reference
             drift-channel image; th_seeds: (C,) per-channel thresholds."""
@@ -187,7 +188,15 @@ class FovPipeline:
             return RoundResult(spots=corrected_spots, raw_spots=raw,
                                valid=valid, drift=drift, drift_flag=flag)
 
-        return process
+        # per-stage jitted programs for the structured timing breakdown
+        # (SURVEY §5: replace the reference's `verbose` prints with a
+        # per-stage timing record)
+        self.correct_jit = jax.jit(correct)
+        self.drift_jit = jax.jit(drift_of)
+        self.fit_jit = jax.jit(fit_channel)
+        # the raw stack is consumed by the first correction stage; donating
+        # it keeps only one copy of the FOV live in HBM per dispatch
+        return jax.jit(process, donate_argnums=(0,))
 
     # -- public API -------------------------------------------------------
 
@@ -206,7 +215,8 @@ class FovPipeline:
                              and self.illumination is not None),
             do_highpass=corr.gaussian_highpass,
             highpass_sigma=corr.highpass_sigma,
-            highpass_truncate=corr.highpass_truncate)
+            highpass_truncate=corr.highpass_truncate,
+            clip_min=corr.clip_min, clip_max=corr.clip_max)
         return out[self.drift_idx]
 
     def process_round(self, ims, ref_im) -> RoundResult:

@@ -142,6 +142,78 @@ class SyntheticFov:
     bleed: np.ndarray = None           # (C, C) mixing matrix applied
 
 
+def write_synthetic_experiment(root: str,
+                               shape=(12, 128, 128),
+                               n_rounds: int = 3,
+                               n_regions_per_round: int = 2,
+                               n_spots: int = 12,
+                               seed: int = 0,
+                               drift_scale: float = 2.0,
+                               buffer_frames: int = 4,
+                               fov_names: Sequence[str] = ("Conv_zscan_00.dax",),
+                               channels: Sequence[str] = ("750", "647", "488"),
+                               ) -> dict:
+    """Write a miniature on-disk experiment: H*-prefixed hyb folders of
+    interleaved .dax movies + a Color_Usage.csv, mirroring the reference's
+    folder layout (get_img_info.py:12-33, 96-167).  The last channel carries
+    fiducial beads (shared across rounds, drifted); each earlier channel
+    carries one 'u<N>' unique region per round.  Returns ground truth:
+    {'drifts': (R,3), 'regions': {region_id: {'centers', 'channel'}},
+     'channels': [...], 'folders': [...]}.
+    """
+    import csv as _csv
+    import os
+
+    from .io.dax import interleave_channels, write_dax
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    n_data_ch = len(channels) - 1
+    drifts = np.vstack([np.zeros(3),
+                        rng.uniform(-drift_scale, drift_scale,
+                                    size=(n_rounds - 1, 3))])
+    _, bead_truth = random_spot_field(shape, n_spots, rng,
+                                      min_separation=14.0,
+                                      height_range=(2000.0, 6000.0))
+    truth = {"drifts": drifts, "regions": {}, "channels": list(channels),
+             "folders": []}
+    usage_rows = []
+    rid = 0
+    for r in range(n_rounds):
+        folder = os.path.join(root, f"H{r}R{r}")
+        os.makedirs(folder, exist_ok=True)
+        truth["folders"].append(folder)
+        row_entries = []
+        stacks = []
+        for c in range(n_data_ch):
+            rid += 1
+            _, t = random_spot_field(shape, n_spots, rng,
+                                     min_separation=14.0,
+                                     height_range=(1500.0, 5000.0))
+            centers = t["centers"] + drifts[r]
+            im = render_gaussian_spots(shape, centers, t["heights"],
+                                       t["sigmas"], background=120.0)
+            stacks.append(np.clip(im, 0, 65535).astype(np.uint16))
+            truth["regions"][rid] = {"centers": t["centers"],
+                                     "heights": t["heights"],
+                                     "channel": channels[c], "round": r}
+            row_entries.append(f"u{rid}")
+        bead_im = render_gaussian_spots(
+            shape, bead_truth["centers"] + drifts[r],
+            bead_truth["heights"], bead_truth["sigmas"], background=120.0)
+        stacks.append(np.clip(bead_im, 0, 65535).astype(np.uint16))
+        row_entries.append("beads")
+        movie = interleave_channels(stacks, buffer_frames=buffer_frames)
+        for fov in fov_names:
+            write_dax(os.path.join(folder, fov), movie)
+        usage_rows.append([os.path.basename(folder)] + row_entries)
+    with open(os.path.join(root, "Color_Usage.csv"), "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["Hyb"] + list(channels))
+        w.writerows(usage_rows)
+    return truth
+
+
 def make_synthetic_fov(shape=(16, 256, 256), n_rounds=3, n_channels=2,
                        n_spots=20, seed=0, drift_scale=3.0,
                        apply_illumination=True, apply_bleed=False,

@@ -1,0 +1,133 @@
+"""End-to-end experiment driver: on-disk .dax -> store, with resume.
+
+Covers the reference chain batch_process_image_to_spots
+(classes/batch_functions.py:60-302) + _process_image_to_spots
+(classes/field_of_view.py:901-1158): folder scan, reference round, per-round
+correct/drift/fit, persistence, and rerun-is-a-no-op resumability
+(classes/field_of_view.py:1453-1522).
+"""
+
+import numpy as np
+import pytest
+
+from imageanalysis3_tpu import synthetic as syn
+from imageanalysis3_tpu.config import (ExperimentConfig, SeedConfig,
+                                       FitConfig, DriftConfig,
+                                       CorrectionConfig)
+from imageanalysis3_tpu.io.dax import (interleave_channels, split_channels,
+                                       read_dax)
+from imageanalysis3_tpu.io.store import FovStore
+from imageanalysis3_tpu.pipeline.experiment import (ExperimentDriver,
+                                                    parse_region_entry)
+
+SHAPE = (12, 128, 128)
+
+
+def _driver(root, tmp_path):
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        correction=CorrectionConfig(illumination=False, hot_pixel=False),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=4, lm_iters=20),
+        num_buffer_frames=4,
+    )
+    return ExperimentDriver(str(root), str(tmp_path / "save"), cfg=cfg)
+
+
+def test_parse_region_entry():
+    assert parse_region_entry("u101") == ("unique", 101)
+    assert parse_region_entry("c5") == ("combo", 5)
+    assert parse_region_entry("m12") == ("merfish", 12)
+    assert parse_region_entry("beads") is None
+    assert parse_region_entry("DAPI") is None
+    assert parse_region_entry("") is None
+    assert parse_region_entry("u1_chrom") is None
+
+
+def test_interleave_roundtrip():
+    rng = np.random.default_rng(3)
+    stacks = [rng.integers(0, 1000, size=(5, 8, 8)).astype(np.uint16)
+              for _ in range(3)]
+    movie = interleave_channels(stacks, buffer_frames=4)
+    back = split_channels(movie, ["a", "b", "c"], ["a", "b", "c"], n_z=5,
+                          buffer_frames=4)
+    for orig, rec in zip(stacks, back):
+        np.testing.assert_array_equal(orig, rec)
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    root = tmp_path_factory.mktemp("exp")
+    truth = syn.write_synthetic_experiment(
+        str(root), shape=SHAPE, n_rounds=3, n_spots=10, seed=1,
+        buffer_frames=4, channels=("750", "647", "488"))
+    return root, truth
+
+
+def test_driver_end_to_end_and_resume(experiment, tmp_path):
+    root, truth = experiment
+    drv = _driver(root, tmp_path)
+
+    # the plan covers 3 rounds x 2 data channels = 6 unique regions
+    table = drv.region_table()
+    assert set(table) == {"unique"}
+    assert len(table["unique"]) == 6
+
+    counts = drv.process_fov("Conv_zscan_00.dax")
+    assert counts["unique"] == 6
+
+    with FovStore(drv.store_path("Conv_zscan_00.dax"), "r") as store:
+        assert store.pending_regions("unique").size == 0
+        dflags = store.drift_flags("unique")
+        assert dflags.shape == (6,)
+        # recovered drifts match the planted per-round scene displacements
+        # (stored drift is the correction shift applied to spot coords,
+        # i.e. the negated displacement — skimage/reference convention)
+        g_ids = list(store._fh["unique"]["ids"][:])
+        for rid, info in truth["regions"].items():
+            i = g_ids.index(rid)
+            drift = store._fh["unique"]["drifts"][i]
+            np.testing.assert_allclose(drift,
+                                       -truth["drifts"][info["round"]],
+                                       atol=0.5)
+        # drift-corrected spot coords land on the round-0 frame truth
+        for rid, info in truth["regions"].items():
+            spots, drift, flag = store.load_spots("unique", rid)
+            assert flag == 2
+            got = spots[:, 1:4]
+            matched = 0
+            for c in info["centers"]:
+                d = np.linalg.norm(got - c, axis=1).min()
+                if d < 0.5:
+                    matched += 1
+            assert matched >= len(info["centers"]) * 0.8
+
+    # rerun: everything is flagged done -> no-op
+    counts2 = drv.process_fov("Conv_zscan_00.dax")
+    assert counts2["unique"] == 0
+    # per-stage structured timing was recorded
+    summary = drv.timings.summary()
+    assert "process_round" in summary and "load_dax" in summary
+
+
+def test_driver_partial_resume(experiment, tmp_path):
+    """Clearing one region's flag makes exactly that work pending again."""
+    root, truth = experiment
+    drv = _driver(root, tmp_path)
+    drv.process_fov("Conv_zscan_00.dax")
+    path = drv.store_path("Conv_zscan_00.dax")
+    with FovStore(path) as store:
+        g = store._fh["unique"]
+        g["flags"][2] = 0
+        cleared_rid = int(g["ids"][2])
+    drv2 = _driver(root, tmp_path)
+    counts = drv2.process_fov("Conv_zscan_00.dax")
+    assert counts["unique"] == 1
+    with FovStore(path, "r") as store:
+        assert store.pending_regions("unique").size == 0
+    # only the round containing the cleared region was reprocessed
+    rounds_run = [r["folder"] for r in drv2.timings.records
+                  if r["stage"] == "process_round"]
+    cleared_round = truth["regions"][cleared_rid]["round"]
+    assert rounds_run == [f"H{cleared_round}R{cleared_round}"]
