@@ -1,0 +1,385 @@
+"""MERFISH combinatorial decoding: candidate spots -> spot tuples -> regions.
+
+Behavior targets (reference classes/decode.py, Merfish_Decoder):
+  * codebook -> valid bit pairs / on-bit tuples    :163-205
+    (_load_codebook, _find_valid_pairs_in_codebook, _find_valid_tuples)
+  * fixed-radius pair search (KDTree, 250 nm)      :207-241
+    (_find_spot_pairs_in_radius, keep pairs whose bit pair is valid)
+  * tuple score metrics                            :1900-2016
+    (mean intensity, intensity CoV, median internal distance)
+  * CDF scores + weighted summary                  :2018-2070
+  * greedy usage-capped tuple selection            :372-531
+    (select_spot_tuples: pick non-overlapping pairs best-first, then
+    upgrade each kept pair with missing on-bits from the neighborhood)
+
+TPU-first design: the reference's KDTree + per-pair Python objects become
+dense arrays and three device programs —
+  1. neighbor search as blockwise |a-b|^2 = |a|^2+|b|^2-2ab matmuls on the
+     MXU with top-k per row (brute force beats hash-grids at 1e4-1e5 spots
+     on TPU; zero gather irregularity);
+  2. pair enumeration + scoring as masked (N, K) table ops, empirical CDFs
+     via sort + searchsorted;
+  3. greedy selection as a `fori_loop` over score-sorted pairs mutating a
+     spot-usage vector (the only inherently sequential step — O(1) work
+     per iteration).
+The codebook tables are tiny host-side numpy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+DEFAULT_SEARCH_TH_NM = 250.0   # reference default_search_th (decode.py:20)
+
+
+# ---------------------------------------------------------------------------
+# Codebook (host-side, tiny)
+# ---------------------------------------------------------------------------
+
+
+class Codebook(NamedTuple):
+    """Dense codebook tables.
+
+    matrix: (G, B) 0/1; ids: (G,) region ids; bit_values: (B,) the bit
+    labels matching candidate spots' `bits`; pair_region: (B, B) int32
+    region id decoded by each bit pair (-1 invalid, ties: first code wins,
+    matching the reference's first-seen dict insert).
+    """
+
+    matrix: np.ndarray
+    ids: np.ndarray
+    bit_values: np.ndarray
+    pair_region: np.ndarray
+
+    @property
+    def n_on_bits(self) -> int:
+        return int(self.matrix.sum(1).max())
+
+    def on_bits_of(self, region_id: int) -> np.ndarray:
+        g = int(np.where(self.ids == region_id)[0][0])
+        return self.bit_values[self.matrix[g] > 0]
+
+
+def build_codebook(matrix: np.ndarray, ids: Optional[Sequence[int]] = None,
+                   bit_values: Optional[Sequence[int]] = None) -> Codebook:
+    """Codebook tables from a (G, B) on-bit matrix
+    (reference _find_valid_pairs_in_codebook, decode.py:177-205)."""
+    matrix = np.asarray(matrix)
+    g, b = matrix.shape
+    ids = np.asarray(ids if ids is not None else np.arange(g), np.int32)
+    bit_values = np.asarray(
+        bit_values if bit_values is not None else np.arange(b), np.int32)
+    pair_region = np.full((b, b), -1, np.int32)
+    for gi in range(g):
+        on = np.where(matrix[gi] > 0)[0]
+        for i in range(len(on)):
+            for j in range(i + 1, len(on)):
+                a, c = on[i], on[j]
+                if pair_region[a, c] < 0:
+                    pair_region[a, c] = ids[gi]
+                    pair_region[c, a] = ids[gi]
+    return Codebook(matrix=matrix.astype(np.int8), ids=ids,
+                    bit_values=bit_values, pair_region=pair_region)
+
+
+def region_bit_matrix(codebook: Codebook) -> np.ndarray:
+    """(max_region_id+1, B) on-bit lookup by region id (-row of zeros for
+    unused ids) for device-side membership tests."""
+    out = np.zeros((int(codebook.ids.max()) + 1, codebook.matrix.shape[1]),
+                   np.int8)
+    for gi, rid in enumerate(codebook.ids):
+        out[rid] = codebook.matrix[gi]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Neighbor search (MXU blockwise brute force)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def find_neighbors(positions: jnp.ndarray, valid: jnp.ndarray,
+                   radius: float, k: int = 24,
+                   block: int = 1024) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-spot up-to-k neighbors within `radius` -> (idx (N, k), ok (N, k)).
+
+    positions: (N, 3) nm.  Distances come from one |a|^2+|b|^2-2ab matmul
+    per row block (the TPU-native replacement for the reference KDTree,
+    decode.py:207-241); self-pairs excluded.
+    """
+    n = positions.shape[0]
+    pos = jnp.where(valid[:, None], positions, 1e9)
+    sq = jnp.sum(pos * pos, axis=1)
+
+    pad = (-n) % block
+    pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
+    sq_p = jnp.pad(sq, (0, pad))
+    n_blocks = (n + pad) // block
+
+    def one(i):
+        a = jax.lax.dynamic_slice(pos_p, (i * block, 0), (block, 3))
+        asq = jax.lax.dynamic_slice(sq_p, (i * block,), (block,))
+        d2 = asq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+            a, pos.T, precision=_HIGH)
+        rows = i * block + jnp.arange(block)
+        self_mask = rows[:, None] == jnp.arange(n)[None, :]
+        d2 = jnp.where(self_mask, jnp.inf, d2)
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        neg, idx = jax.lax.top_k(-d2, k)
+        ok = (-neg) <= radius * radius
+        return idx, ok
+
+    idx, ok = jax.lax.map(one, jnp.arange(n_blocks))
+    idx = idx.reshape(-1, k)[:n]
+    ok = ok.reshape(-1, k)[:n] & valid[:, None]
+    return idx, ok
+
+
+# ---------------------------------------------------------------------------
+# Pair enumeration + scoring
+# ---------------------------------------------------------------------------
+
+
+class PairTable(NamedTuple):
+    """Masked (N*K,) candidate-pair table."""
+
+    i: jnp.ndarray          # first spot index
+    j: jnp.ndarray          # second spot index
+    region: jnp.ndarray     # decoded region id
+    ok: jnp.ndarray         # validity
+    score: jnp.ndarray      # final score (filled by score_pairs)
+
+
+@jax.jit
+def build_pairs(nb_idx: jnp.ndarray, nb_ok: jnp.ndarray,
+                bit_index: jnp.ndarray,
+                pair_region: jnp.ndarray) -> PairTable:
+    """Enumerate valid bit pairs from the neighbor table
+    (reference decode.py:225-236: keep pairs whose sorted bit pair is in
+    the codebook).  `bit_index`: (N,) codebook bit index per spot."""
+    n, k = nb_idx.shape
+    i = jnp.repeat(jnp.arange(n), k)
+    j = nb_idx.reshape(-1)
+    ok = nb_ok.reshape(-1) & (j > i)        # dedupe (i<j)
+    region = pair_region[bit_index[i], bit_index[j]]
+    ok = ok & (region >= 0)
+    return PairTable(i=i, j=j, region=jnp.where(ok, region, -1), ok=ok,
+                     score=jnp.zeros(n * k, jnp.float32))
+
+
+def _empirical_cdf(values: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    """P(X <= v) over the valid population (sort + searchsorted)."""
+    n_ok = jnp.maximum(jnp.sum(ok), 1)
+    filled = jnp.where(ok, values, jnp.inf)
+    s = jnp.sort(filled)
+    ranks = jnp.searchsorted(s, values, side="right")
+    return jnp.clip(ranks.astype(jnp.float32) / n_ok, 1e-4, 1.0)
+
+
+@partial(jax.jit, static_argnames=())
+def score_pairs(pairs: PairTable, spots: jnp.ndarray,
+                positions: jnp.ndarray,
+                intensity_factor: float = 1.0,
+                inner_dist_factor: float = -1.0) -> PairTable:
+    """Population-CDF scores (reference generate_score_metrics
+    decode.py:1900-1930 basic metrics + generate_scores :2018-2043):
+    final = f_int * log cdf(mean intensity) + f_dist * log cdf(distance).
+    Reference defaults: intensity_factor=1, inner_dist_factor=-1
+    (decode.py:36-37) — bright & compact wins.
+    """
+    ints = spots[:, 0]
+    mean_int = 0.5 * (ints[pairs.i] + ints[pairs.j])
+    d = jnp.linalg.norm(positions[pairs.i] - positions[pairs.j], axis=1)
+    int_cdf = _empirical_cdf(mean_int, pairs.ok)
+    d_cdf = _empirical_cdf(d, pairs.ok)
+    score = (intensity_factor * jnp.log(int_cdf)
+             + (-inner_dist_factor) * jnp.log1p(-jnp.clip(d_cdf, 0.0,
+                                                          1.0 - 1e-4)))
+    return pairs._replace(score=jnp.where(pairs.ok, score, -jnp.inf))
+
+
+# ---------------------------------------------------------------------------
+# Greedy usage-capped selection + on-bit completion
+# ---------------------------------------------------------------------------
+
+
+class SpotGroups(NamedTuple):
+    """Selected tuples, fixed capacity (P, T)."""
+
+    spot_idx: jnp.ndarray    # (P, T) int32, -1 padded
+    region: jnp.ndarray      # (P,) int32, -1 for unused rows
+    n_spots: jnp.ndarray     # (P,) int32
+    ok: jnp.ndarray          # (P,) bool
+    spot_usage: jnp.ndarray  # (N,) int32
+
+
+@partial(jax.jit, static_argnames=("capacity", "n_spots"))
+def select_pairs(pairs: PairTable, n_spots: int,
+                 capacity: int = 4096) -> SpotGroups:
+    """Best-first non-overlapping pair selection (reference
+    select_spot_tuples first iteration, decode.py:420-430): walk pairs by
+    descending score, keep a pair iff both its spots are still unused
+    (strict uniqueness, matching the reference's `usage > 0` check).
+    """
+    capacity = min(capacity, pairs.score.shape[0])
+    order = jnp.argsort(-pairs.score)[:capacity]
+    oi, oj = pairs.i[order], pairs.j[order]
+    o_ok = pairs.ok[order]
+    o_reg = pairs.region[order]
+
+    def body(t, state):
+        usage, sel = state
+        i, j = oi[t], oj[t]
+        can = o_ok[t] & (usage[i] < 1) & (usage[j] < 1)
+        usage = usage.at[i].add(jnp.where(can, 1, 0))
+        usage = usage.at[j].add(jnp.where(can, 1, 0))
+        sel = sel.at[t].set(can)
+        return usage, sel
+
+    usage0 = jnp.zeros(n_spots, jnp.int32)
+    sel0 = jnp.zeros(capacity, bool)
+    usage, sel = jax.lax.fori_loop(0, capacity, body, (usage0, sel0))
+
+    t = jnp.full((capacity, 2), -1, jnp.int32)
+    t = t.at[:, 0].set(jnp.where(sel, oi, -1))
+    t = t.at[:, 1].set(jnp.where(sel, oj, -1))
+    return SpotGroups(spot_idx=t,
+                      region=jnp.where(sel, o_reg, -1),
+                      n_spots=jnp.where(sel, 2, 0).astype(jnp.int32),
+                      ok=sel, spot_usage=usage)
+
+
+@partial(jax.jit, static_argnames=("max_tuple_size",))
+def complete_tuples(groups: SpotGroups, nb_idx: jnp.ndarray,
+                    nb_ok: jnp.ndarray, bit_index: jnp.ndarray,
+                    region_bits: jnp.ndarray, positions: jnp.ndarray,
+                    max_tuple_size: int = 4,
+                    max_usage: int = 1) -> SpotGroups:
+    """Upgrade selected pairs with their codes' missing on-bits (reference
+    select_spot_tuples third iteration, decode.py:462-517): for each group,
+    scan the neighbors of its members for unused spots carrying a missing
+    bit; greedily add the nearest-to-centroid one per round.
+    """
+    p, t_cap = groups.spot_idx.shape
+    pad = max_tuple_size - t_cap
+    spot_idx = jnp.pad(groups.spot_idx, ((0, 0), (0, pad)),
+                       constant_values=-1)
+    usage = groups.spot_usage
+    n, k = nb_idx.shape
+
+    def one_round(state):
+        spot_idx, usage, _changed = state
+        # members' neighbor lists, flattened per group: (P, T*K)
+        mem = jnp.clip(spot_idx, 0, n - 1)
+        mem_ok = spot_idx >= 0
+        cand = nb_idx[mem].reshape(p, -1)
+        cand_ok = (nb_ok[mem] & mem_ok[..., None]).reshape(p, -1)
+        cand_bit = bit_index[cand]
+        # bit needed: on-bit of the region not yet present in the tuple
+        have = jnp.zeros((p, region_bits.shape[1]), bool)
+        have = jax.vmap(
+            lambda h, bits, okm: h.at[bits].max(okm))(
+                have, bit_index[mem], mem_ok)
+        reg = jnp.clip(groups.region, 0, region_bits.shape[0] - 1)
+        needed = (region_bits[reg] > 0) & ~have      # (P, B)
+        cand_needed = jnp.take_along_axis(needed, cand_bit, axis=1)
+        cand_free = usage[cand] < max_usage
+        # already-member spots can't be added twice
+        dup = jnp.any(cand[:, :, None] == spot_idx[:, None, :], axis=2)
+        good = cand_ok & cand_needed & cand_free & ~dup & groups.ok[:, None]
+        # nearest to the group's centroid wins
+        cnt = jnp.maximum(jnp.sum(mem_ok, axis=1, keepdims=True), 1)
+        centroid = jnp.sum(jnp.where(mem_ok[..., None], positions[mem], 0.0),
+                           axis=1) / cnt
+        d = jnp.linalg.norm(positions[cand] - centroid[:, None], axis=-1)
+        d = jnp.where(good, d, jnp.inf)
+        best = jnp.argmin(d, axis=1)
+        best_ok = jnp.isfinite(jnp.min(d, axis=1))
+        new_spot = cand[jnp.arange(p), best]
+        slot = jnp.sum(mem_ok, axis=1)               # first free slot
+        can_add = best_ok & (slot < max_tuple_size)
+        spot_idx = jax.vmap(
+            lambda row, s, v, ok_: jnp.where(
+                ok_, row.at[s].set(v), row))(
+                spot_idx, jnp.clip(slot, 0, max_tuple_size - 1), new_spot,
+                can_add)
+        usage = usage.at[jnp.where(can_add, new_spot, 0)].add(
+            jnp.where(can_add, 1, 0))
+        return spot_idx, usage, jnp.any(can_add)
+
+    state = (spot_idx, usage, jnp.ones((), bool))
+    for _ in range(max_tuple_size - 2):
+        state = jax.lax.cond(state[2], one_round, lambda s: s, state)
+    spot_idx, usage, _ = state
+    n_sp = jnp.sum(spot_idx >= 0, axis=1).astype(jnp.int32)
+    return SpotGroups(spot_idx=spot_idx, region=groups.region,
+                      n_spots=jnp.where(groups.ok, n_sp, 0),
+                      ok=groups.ok, spot_usage=usage)
+
+
+# ---------------------------------------------------------------------------
+# Front door
+# ---------------------------------------------------------------------------
+
+
+class MerfishDecoder:
+    """Decode candidate spots against a codebook.
+
+    Host-facing: owns the (tiny) codebook tables; `decode` runs the three
+    device programs.  Spots: (N, 11) natural rows; `bits`: (N,) bit labels
+    matching the codebook's bit_values; positions derive from zxy *
+    pixel_sizes (reference Spots3D.to_positions).
+    """
+
+    def __init__(self, codebook: Codebook,
+                 pixel_size_nm=(200.0, 108.0, 108.0),
+                 search_th: float = DEFAULT_SEARCH_TH_NM,
+                 intensity_factor: float = 1.0,
+                 inner_dist_factor: float = -1.0):
+        self.codebook = codebook
+        self.pixel_size = np.asarray(pixel_size_nm, np.float32)
+        self.search_th = float(search_th)
+        self.intensity_factor = float(intensity_factor)
+        self.inner_dist_factor = float(inner_dist_factor)
+        self._region_bits = region_bit_matrix(codebook)
+        # bit label -> codebook column
+        self._bit_lut = {int(b): i for i, b in enumerate(codebook.bit_values)}
+
+    def bit_index_of(self, bits: np.ndarray) -> np.ndarray:
+        return np.asarray([self._bit_lut[int(b)] for b in bits], np.int32)
+
+    def decode(self, spots: np.ndarray, bits: np.ndarray,
+               valid: Optional[np.ndarray] = None,
+               k_neighbors: int = 24, pair_capacity: int = 4096,
+               max_usage: int = 1_000_000) -> SpotGroups:
+        """Pair selection always enforces spot uniqueness; `max_usage`
+        bounds spot reuse during tuple completion only (reference
+        select_spot_tuples defaults max_usage=inf, decode.py:372)."""
+        spots = jnp.asarray(spots, jnp.float32)
+        n = spots.shape[0]
+        if valid is None:
+            valid = jnp.ones(n, bool)
+        else:
+            valid = jnp.asarray(valid)
+        positions = spots[:, 1:4] * jnp.asarray(self.pixel_size)[None]
+        bit_index = jnp.asarray(self.bit_index_of(np.asarray(bits)))
+
+        nb_idx, nb_ok = find_neighbors(positions, valid, self.search_th,
+                                       k=k_neighbors)
+        pairs = build_pairs(nb_idx, nb_ok, bit_index,
+                            jnp.asarray(self.codebook.pair_region))
+        pairs = score_pairs(pairs, spots, positions,
+                            self.intensity_factor, self.inner_dist_factor)
+        groups = select_pairs(pairs, n, capacity=pair_capacity)
+        groups = complete_tuples(
+            groups, nb_idx, nb_ok, bit_index,
+            jnp.asarray(self._region_bits), positions,
+            max_tuple_size=self.codebook.n_on_bits, max_usage=max_usage)
+        return groups
