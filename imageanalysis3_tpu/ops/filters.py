@@ -44,27 +44,66 @@ def gaussian_kernel1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def _map_boundary_index(idx: int, n: int, mode: str) -> int:
+    """Map an out-of-range index to a source index per scipy boundary mode
+    (None = no contribution, for mode='constant')."""
+    if mode == "constant":
+        return idx if 0 <= idx < n else None
+    if mode == "wrap":
+        return idx % n
+    for _ in range(64):  # repeated reflection for radius > n
+        if 0 <= idx < n:
+            return idx
+        if mode == "nearest":
+            idx = min(max(idx, 0), n - 1)
+        elif mode == "reflect":       # scipy 'reflect' = symmetric: 1,0|0,1
+            idx = -idx - 1 if idx < 0 else 2 * n - 1 - idx
+        elif mode == "mirror":        # scipy 'mirror' = reflect-101: 1|0|1
+            idx = -idx if idx < 0 else 2 * n - 2 - idx
+        else:
+            raise ValueError(mode)
+    return min(max(idx, 0), n - 1)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _band_matrix(n: int, kernel_key: tuple, mode: str) -> np.ndarray:
+    """(n, n) matrix W with out = W @ x == correlate1d(x, kernel, mode).
+
+    Boundary handling is folded into W, so the whole 1D filter is one
+    matmul — the TPU-native form: the contraction runs on the MXU in the
+    array's native layout with no transposes and no padded copies.
+    """
+    kernel = np.asarray(kernel_key, np.float64)
+    k = len(kernel)
+    radius = k // 2
+    w = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for t in range(k):
+            s = _map_boundary_index(i + t - radius, n, mode)
+            if s is not None:
+                w[i, s] += kernel[t]
+    return w.astype(np.float32)
+
+
 def _conv1d_along_axis(im: jnp.ndarray, kernel: jnp.ndarray, axis: int,
                        mode: str) -> jnp.ndarray:
-    """Correlate `im` with 1D `kernel` along `axis` with scipy boundary mode."""
-    k = kernel.shape[0]
-    radius = k // 2
-    pad = [(0, 0)] * im.ndim
-    pad[axis] = (radius, radius)
-    padded = jnp.pad(im, pad, mode=_SCIPY2JNP_PAD[mode])
-    # Move target axis last, flatten the rest into a batch dim, 1D conv.
-    moved = jnp.moveaxis(padded, axis, -1)
-    batch_shape = moved.shape[:-1]
-    n = moved.shape[-1]
-    x = moved.reshape(-1, 1, n)  # (N, C=1, W)
-    w = kernel.reshape(1, 1, k)  # (O=1, I=1, W)
-    out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    out = out.reshape(*batch_shape, n - 2 * radius)
-    return jnp.moveaxis(out, -1, axis)
+    """Correlate `im` with 1D `kernel` along `axis` with scipy boundary
+    mode, as a banded-matrix contraction on the MXU (see _band_matrix).
+
+    einsum with the output in the input's axis order lowers to a (batched)
+    dot_general in the native layout — no transposes.
+    """
+    kernel = np.asarray(kernel)
+    w = jnp.asarray(_band_matrix(im.shape[axis], tuple(kernel.tolist()),
+                                 mode))
+    letters = "abcdefgh"[:im.ndim]
+    src = letters[axis]
+    out = letters[:axis] + "J" + letters[axis + 1:]
+    spec = f"J{src},{letters}->{out}"
+    return jnp.einsum(spec, w, im, precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("sigma", "truncate", "mode", "axes"))
@@ -90,7 +129,7 @@ def gaussian_filter(im: jnp.ndarray,
     for ax, s in zip(axes, sigmas):
         if s <= 0:
             continue
-        kern = jnp.asarray(gaussian_kernel1d(s, truncate))
+        kern = gaussian_kernel1d(s, truncate)
         out = _conv1d_along_axis(out, kern, ax, mode)
     return out
 

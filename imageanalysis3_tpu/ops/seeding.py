@@ -91,9 +91,12 @@ def _level_diff_hist(tile: jnp.ndarray, th_seed, x0, core_x: int,
     frac = 1.0 - diff / th
     level = jnp.ceil(frac * n_lvl).astype(jnp.int32)
     level = jnp.clip(level, 0, n_lvl)
-    level = jnp.where(qualify, level, n_lvl)
-    hist = jnp.bincount(level.ravel(), length=n_lvl + 1)[:n_lvl]
-    return level.astype(jnp.int8), diff, hist
+    level = jnp.where(qualify, level, n_lvl).astype(jnp.int8)
+    # per-level counts as unrolled compare-reduces: a scatter-add bincount
+    # is ~77x slower on TPU (measured 2.24s vs 0.03s at 250M px)
+    hist = jnp.stack([jnp.sum((level == i).astype(jnp.int32))
+                      for i in range(n_lvl)])
+    return level, diff, hist
 
 
 @partial(jax.jit, static_argnames=(
@@ -168,20 +171,39 @@ def get_seeds(im: jnp.ndarray,
         sel = sel & (xy_counts[None] < hot_pixel_th)
 
     n_sel = jnp.sum(sel.astype(jnp.int32))
-    zc, xc, yc = jnp.nonzero(sel, size=cand_capacity, fill_value=-1)
-    cand_valid = zc >= 0
-    heights = jnp.where(cand_valid,
-                        diff[jnp.clip(zc, 0, None), jnp.clip(xc, 0, None),
-                             jnp.clip(yc, 0, None)],
-                        -jnp.inf)
-    # brightest-first, capped at max_num_seeds
-    order = jnp.argsort(-heights)[:max_num_seeds]
-    coords = jnp.stack([zc, xc, yc], axis=1)[order]
-    hts = heights[order]
+
+    # brightest-first extraction via hierarchical top_k: a cumsum-based
+    # `nonzero` is ~30x slower on TPU (measured 1.76s vs 0.06s at 250M px).
+    # Stage 1 keeps the top `row_cap` heights per ~15k-px row; stage 2
+    # selects the global top max_num_seeds.  Exact unless > row_cap
+    # in-budget seeds share one row (vanishingly rare at real densities).
+    masked = jnp.where(sel, diff, -jnp.inf).ravel()
+    total = masked.shape[0]
+    row_cap = 16
+    rows = max(1, min(16384, total // row_cap))
+    cols = -(-total // rows)
+    flat = jnp.pad(masked, (0, rows * cols - total),
+                   constant_values=-jnp.inf)
+    v1, i1 = jax.lax.top_k(flat.reshape(rows, cols), min(row_cap, cols))
+    flat1 = (jnp.arange(rows, dtype=jnp.int32) * cols)[:, None] \
+        + i1.astype(jnp.int32)
+    k2 = min(max_num_seeds, int(v1.size))
+    hts, order = jax.lax.top_k(v1.ravel(), k2)
+    flat_idx = flat1.ravel()[order]
+    if k2 < max_num_seeds:
+        hts = jnp.pad(hts, (0, max_num_seeds - k2),
+                      constant_values=-jnp.inf)
+        flat_idx = jnp.pad(flat_idx, (0, max_num_seeds - k2),
+                           constant_values=0)
+    zc = flat_idx // (shape[1] * shape[2])
+    rem = flat_idx % (shape[1] * shape[2])
+    xc = rem // shape[2]
+    yc = rem % shape[2]
+    coords = jnp.stack([zc, xc, yc], axis=1)
     valid = jnp.isfinite(hts)
     hts = jnp.where(valid, hts, 0.0)
     coords = jnp.where(valid[:, None], coords, -1)
     return Seeds(coords=coords.astype(jnp.int32), heights=hts, valid=valid,
                  count=jnp.minimum(n_sel, max_num_seeds).astype(jnp.int32),
                  threshold=chosen_th,
-                 saturated=n_sel > cand_capacity)
+                 saturated=n_sel > max_num_seeds)
