@@ -1,5 +1,23 @@
-"""Polymer post-analysis: distance maps, domains, compartments."""
+"""Polymer post-analysis: distance maps, domains, compartments, partitioning."""
 
 from .distmap import spots_to_zxy_nm, distance_map, median_distance_map
+from .domains import (sliding_window_dist, find_peaks_1d,
+                      candidate_domain_boundaries, domain_pdists,
+                      merge_domains, basic_domain_calling,
+                      insulation_domain_calling)
+from .compartments import (normalize_center_spots, ab_axis_projection,
+                           spots_to_density, compartment_scores,
+                           ab_compartment_eigenscore)
+from .partition import (spots_to_labels, spots_to_intensity, count_genes,
+                        translate_label_image)
 
-__all__ = ["spots_to_zxy_nm", "distance_map", "median_distance_map"]
+__all__ = [
+    "spots_to_zxy_nm", "distance_map", "median_distance_map",
+    "sliding_window_dist", "find_peaks_1d", "candidate_domain_boundaries",
+    "domain_pdists", "merge_domains", "basic_domain_calling",
+    "insulation_domain_calling",
+    "normalize_center_spots", "ab_axis_projection", "spots_to_density",
+    "compartment_scores", "ab_compartment_eigenscore",
+    "spots_to_labels", "spots_to_intensity", "count_genes",
+    "translate_label_image",
+]

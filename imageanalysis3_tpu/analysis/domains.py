@@ -1,0 +1,298 @@
+"""Domain calling on single-chromosome traces: boundaries, merging,
+insulation.
+
+Behavior targets (reference ImageAnalysis3):
+  * sliding-window boundary signal   domain_tools/distance.py:19-68
+    (_sliding_window_dist: median/mean/insulation separation between
+    intra-window and inter-window distances at each position)
+  * candidate boundaries             domain_tools/calling.py:23-66
+    (generate_candidate_domain_boundary: peaks of the sliding-window
+    signal matched against peaks of the correlation-map discontinuity)
+  * domain distances                 domain_tools/distance.py:70-205
+    (domain_distance / domain_pdists: median-separation statistic between
+    domain segments)
+  * merging                          domain_tools/calling.py:68-139
+    (merge_domains: iteratively absorb the most-similar adjacent domain)
+  * insulation calling               domain_tools/calling.py:760-824
+    (insulation_domain_calling: peaks of the insulation signal)
+
+TPU-first design: the per-position python loops become one gathered
+(R, 2w, 2w) window tensor with masked-median reductions (vmapped sorts on
+tiny windows); peak finding is branch-free local-max + greedy distance
+suppression.  Domain-level statistics, whose count is tiny (~10-60), stay
+host-side over jitted segment kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Masked helpers
+# ---------------------------------------------------------------------------
+
+
+def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of x[mask] (nan if empty), along the last axis."""
+    big = jnp.where(mask, x, jnp.inf)
+    s = jnp.sort(big, axis=-1)
+    n = jnp.sum(mask, axis=-1)
+    half = jnp.maximum((n - 1) // 2, 0)
+    lo = jnp.take_along_axis(s, half[..., None], axis=-1)[..., 0]
+    hi = jnp.take_along_axis(s, jnp.maximum(n - 1 - half, 0)[..., None],
+                             axis=-1)[..., 0]
+    med = 0.5 * (lo + hi)
+    return jnp.where(n > 0, med, jnp.nan)
+
+
+def _masked_mean(x, mask):
+    n = jnp.maximum(jnp.sum(mask, axis=-1), 1)
+    return jnp.where(jnp.sum(mask, axis=-1) > 0,
+                     jnp.sum(jnp.where(mask, x, 0.0), axis=-1) / n, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window boundary signal
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("window", "metric"))
+def sliding_window_dist(distmap: jnp.ndarray, window: int,
+                        metric: str = "median",
+                        valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Boundary signal at every position of a (R, R) distance map.
+
+    Behavior target: _sliding_window_dist (domain_tools/distance.py:19-68):
+    at position i compare intra distances (upper triangles of the
+    [i-w, i) and [i, i+w) blocks) against inter distances (the
+    [i-w, i) x [i, i+w) block).  Positions within w/2 of either end are 0.
+    Metrics: 'median' ((m_inter-m_intra)/sqrt(v_inter+v_intra) with median
+    stats), 'mean' (same with moments), 'insulation' (m_inter/m_intra),
+    'normed_insulation' ((m_intra-m_inter)/(m_intra+m_inter)).
+    """
+    r = distmap.shape[0]
+    w = int(window)
+    if valid is None:
+        valid = jnp.ones(r, bool)
+    dm = distmap.astype(jnp.float32)
+    ok2 = valid[:, None] & valid[None, :] & jnp.isfinite(dm)
+
+    # pad so every window gather is in-bounds
+    pad_dm = jnp.pad(dm, ((w, w), (w, w)))
+    pad_ok = jnp.pad(ok2, ((w, w), (w, w)))
+
+    a = jnp.arange(2 * w)
+    tri = a[:, None] < a[None, :]                      # strict upper
+    left = (a < w)
+    intra_mask = tri & ((left[:, None] & left[None, :])
+                        | (~left[:, None] & ~left[None, :]))
+    inter_mask = left[:, None] & ~left[None, :]
+
+    def one(i):
+        blk = jax.lax.dynamic_slice(pad_dm, (i, i), (2 * w, 2 * w))
+        okb = jax.lax.dynamic_slice(pad_ok, (i, i), (2 * w, 2 * w))
+        intra = blk.ravel()
+        mask_i = (okb & intra_mask).ravel() & (intra > 0)
+        mask_o = (okb & inter_mask).ravel()
+        if metric == "median":
+            m_i = _masked_median(intra, mask_i)
+            m_o = _masked_median(intra, mask_o)
+            v_i = _masked_median((intra - m_i) ** 2, mask_i)
+            v_o = _masked_median((intra - m_o) ** 2, mask_o)
+            out = (m_o - m_i) / jnp.sqrt(jnp.maximum(v_o + v_i, 1e-12))
+        elif metric == "mean":
+            m_i = _masked_mean(intra, mask_i)
+            m_o = _masked_mean(intra, mask_o)
+            v_i = _masked_mean((intra - m_i) ** 2, mask_i)
+            v_o = _masked_mean((intra - m_o) ** 2, mask_o)
+            out = (m_o - m_i) / jnp.sqrt(jnp.maximum(v_o + v_i, 1e-12))
+        elif metric == "insulation":
+            out = _masked_mean(intra, mask_o) \
+                / jnp.maximum(_masked_mean(intra, mask_i), 1e-12)
+        elif metric == "normed_insulation":
+            m_i = _masked_mean(intra, mask_i)
+            m_o = _masked_mean(intra, mask_o)
+            out = (m_i - m_o) / jnp.maximum(m_i + m_o, 1e-12)
+        else:
+            raise ValueError(metric)
+        return jnp.where(jnp.isnan(out), 0.0, out)
+
+    dists = jax.vmap(one)(jnp.arange(r))
+    # zero out the boundary band (reference: i -/+ w/2 out of range -> 0)
+    i = jnp.arange(r)
+    inside = (i - w // 2 >= 0) & (i + w // 2 < r)
+    return jnp.where(inside, dists, 0.0)
+
+
+@partial(jax.jit, static_argnames=("distance", "max_peaks"))
+def find_peaks_1d(x: jnp.ndarray, distance: int = 1,
+                  min_height: float = -jnp.inf,
+                  max_peaks: int = 64) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local maxima with minimum-separation suppression -> (idx, mask).
+
+    scipy.signal.find_peaks(distance=...) semantics: strict local maxima,
+    then greedy suppression from the highest peak down.
+    """
+    n = x.shape[0]
+    xl = jnp.roll(x, 1).at[0].set(jnp.inf)
+    xr = jnp.roll(x, -1).at[-1].set(jnp.inf)
+    is_peak = (x > xl) & (x > xr) & (x >= min_height)
+    score = jnp.where(is_peak, x, -jnp.inf)
+    k = min(max_peaks, n)
+    vals, idx = jax.lax.top_k(score, k)
+    ok0 = jnp.isfinite(vals)
+
+    def body(t, kept):
+        # suppress peak t if a taller kept peak is within `distance`
+        close = (jnp.abs(idx - idx[t]) < distance) & kept \
+            & (jnp.arange(k) < t)
+        return kept.at[t].set(ok0[t] & ~jnp.any(close))
+
+    kept = jax.lax.fori_loop(0, k, body, ok0)
+    order = jnp.argsort(jnp.where(kept, idx, n + 1))
+    return idx[order], kept[order]
+
+
+def candidate_domain_boundaries(zxys: np.ndarray,
+                                min_domain_size: int = 5,
+                                match_boundary_dist: int = 3,
+                                max_peaks: int = 64) -> np.ndarray:
+    """Initial candidate boundary starts (always includes 0).
+
+    Behavior target: generate_candidate_domain_boundary
+    (domain_tools/calling.py:23-66): keep correlation-discontinuity peaks
+    confirmed by a sliding-window distance peak within
+    `match_boundary_dist`.
+    """
+    zxys = np.asarray(zxys, np.float64)
+    valid = np.all(np.isfinite(zxys), axis=1)
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    r = len(dm)
+    w = int(min_domain_size)
+
+    slide = np.asarray(sliding_window_dist(jnp.asarray(dm), w,
+                                           metric="median",
+                                           valid=jnp.asarray(valid)))
+    sp_idx, sp_ok = find_peaks_1d(jnp.asarray(slide), distance=w,
+                                  max_peaks=max_peaks)
+    slide_peaks = np.asarray(sp_idx)[np.asarray(sp_ok)]
+
+    # correlation-map discontinuity
+    dmm = np.where(np.isfinite(dm), dm, np.nan)
+    mu = np.nanmean(dmm, axis=1, keepdims=True)
+    sd = np.nanstd(dmm, axis=1, keepdims=True) + 1e-12
+    zn = np.where(np.isfinite(dmm), (dmm - mu) / sd, 0.0)
+    corr = (zn @ zn.T) / dm.shape[0]
+    corr_dists = np.zeros(r)
+    for i in range(w, r - w):
+        corr_dists[i] = np.linalg.norm(corr[i - w:i] - corr[i:i + w])
+    cp_idx, cp_ok = find_peaks_1d(jnp.asarray(corr_dists), distance=w,
+                                  max_peaks=max_peaks)
+    corr_peaks = np.asarray(cp_idx)[np.asarray(cp_ok)]
+
+    kept = [0]
+    for p in corr_peaks:
+        if len(slide_peaks) and (np.abs(slide_peaks - p)
+                                 <= match_boundary_dist).any():
+            kept.append(int(p))
+    return np.unique(kept)
+
+
+def domain_segment_distance(dm: np.ndarray, b1: Tuple[int, int],
+                            b2: Tuple[int, int]) -> float:
+    """Median-separation distance between two domains of a distance map
+    (reference domain_distance, domain_tools/distance.py:70-160,
+    metric='median')."""
+    i0, i1 = b1
+    j0, j1 = b2
+    intra1 = dm[i0:i1, i0:i1][np.triu_indices(i1 - i0, 1)]
+    intra2 = dm[j0:j1, j0:j1][np.triu_indices(j1 - j0, 1)]
+    intra = np.concatenate([intra1, intra2])
+    inter = dm[i0:i1, j0:j1].ravel()
+    intra = intra[np.isfinite(intra)]
+    inter = inter[np.isfinite(inter)]
+    if len(intra) == 0 or len(inter) == 0:
+        return np.nan
+    m_i, m_o = np.median(intra), np.median(inter)
+    v_i = np.median((intra - m_i) ** 2)
+    v_o = np.median((inter - m_o) ** 2)
+    return (m_o - m_i) / np.sqrt(max(v_o + v_i, 1e-12))
+
+
+def domain_pdists(zxys: np.ndarray, starts: Sequence[int]) -> np.ndarray:
+    """Condensed pairwise domain distances (reference domain_pdists,
+    domain_tools/distance.py:161-205)."""
+    zxys = np.asarray(zxys, np.float64)
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    starts = np.asarray(sorted(starts), int)
+    ends = np.append(starts[1:], len(zxys))
+    out = []
+    for i in range(len(starts)):
+        for j in range(i + 1, len(starts)):
+            out.append(domain_segment_distance(
+                dm, (starts[i], ends[i]), (starts[j], ends[j])))
+    return np.asarray(out)
+
+
+def merge_domains(zxys: np.ndarray, starts: Sequence[int],
+                  dist_th: float = 0.65,
+                  max_iter: int = 64) -> np.ndarray:
+    """Iteratively absorb the most-similar adjacent domain pair until all
+    adjacent separations exceed `dist_th` (reference merge_domains,
+    domain_tools/calling.py:68-139, distance criterion).
+    """
+    zxys = np.asarray(zxys, np.float64)
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    starts = list(np.asarray(sorted(starts), int))
+    for _ in range(max_iter):
+        if len(starts) <= 1:
+            break
+        ends = starts[1:] + [len(zxys)]
+        adj = [domain_segment_distance(dm, (starts[i], ends[i]),
+                                       (starts[i + 1], ends[i + 1]))
+               for i in range(len(starts) - 1)]
+        adj = np.asarray(adj)
+        if not np.any(adj < dist_th):
+            break
+        worst = int(np.nanargmin(adj))
+        del starts[worst + 1]
+    return np.asarray(starts, int)
+
+
+def basic_domain_calling(zxys: np.ndarray, min_domain_size: int = 5,
+                         match_boundary_dist: int = 3,
+                         dist_th: float = 0.65) -> np.ndarray:
+    """Candidate boundaries + iterative merging -> domain start ids
+    (reference basic_domain_calling, domain_tools/calling.py:140-293)."""
+    starts = candidate_domain_boundaries(zxys, min_domain_size,
+                                         match_boundary_dist)
+    return merge_domains(zxys, starts, dist_th=dist_th)
+
+
+def insulation_domain_calling(distmap: np.ndarray,
+                              min_domain_size: int = 5,
+                              window_size: Optional[int] = None,
+                              use_distance: Optional[bool] = None,
+                              max_peaks: int = 64) -> np.ndarray:
+    """Insulation-signal domain calling (reference
+    insulation_domain_calling, domain_tools/calling.py:760-824)."""
+    dm = np.asarray(distmap, np.float64)
+    w = int(window_size) if window_size else 2 * int(min_domain_size)
+    dists = np.asarray(sliding_window_dist(jnp.asarray(dm), w,
+                                           metric="insulation"))
+    if use_distance is None:
+        # distance map: inter > intra at boundaries -> ratio peaks there;
+        # contact map: ratio dips instead
+        use_distance = bool(np.nanmedian(dists[dists != 0]) >= 1.0)
+    sig = dists if use_distance else -dists
+    idx, ok = find_peaks_1d(jnp.asarray(sig), distance=min_domain_size - 1,
+                            max_peaks=max_peaks)
+    peaks = np.asarray(idx)[np.asarray(ok)]
+    peaks = peaks[(peaks > 0) & (peaks < len(dm))]
+    return np.unique(np.concatenate([[0], peaks]))

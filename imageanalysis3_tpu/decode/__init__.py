@@ -1,5 +1,19 @@
 """Decoding & picking: spots -> genomic loci -> chromosome traces."""
 
-from .picking import naive_pick_spots
+from .picking import (naive_pick_spots, dynamic_pick_spots, em_pick_spots,
+                      em_pick_spots_for_chromosomes, build_candidate_table,
+                      take_trace, EMPickResult)
+from .scoring import (ChromRefStats, chromosome_ref_stats, score_candidates,
+                      local_centers, neighboring_dists)
+from .merfish import (Codebook, build_codebook, MerfishDecoder,
+                      find_neighbors, SpotGroups)
 
-__all__ = ["naive_pick_spots"]
+__all__ = [
+    "naive_pick_spots", "dynamic_pick_spots", "em_pick_spots",
+    "em_pick_spots_for_chromosomes", "build_candidate_table", "take_trace",
+    "EMPickResult",
+    "ChromRefStats", "chromosome_ref_stats", "score_candidates",
+    "local_centers", "neighboring_dists",
+    "Codebook", "build_codebook", "MerfishDecoder", "find_neighbors",
+    "SpotGroups",
+]

@@ -389,6 +389,32 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
                      n_rounds=i_final)
 
 
+@partial(jax.jit, static_argnames=("bin_size",))
+def find_image_background(im: jnp.ndarray, bin_size: int = 10,
+                          vmax: float = 65535.0) -> jnp.ndarray:
+    """Background level = center of the histogram's dominant local peak.
+
+    Behavior target: reference io_tools/load.py:642-687
+    (find_image_background): histogram with `bin_size`-wide bins over the
+    dtype range, select the highest peak.  The reference's iterative
+    height-threshold halving always terminates at any local maximum, so
+    the TPU form takes the highest-count interior local maximum directly
+    (median fallback when the histogram is monotonic).
+    """
+    imf = im.astype(jnp.float32)
+    n_bins = int(vmax) // int(bin_size)
+    idx = jnp.clip((imf / bin_size).astype(jnp.int32), 0, n_bins - 1)
+    cts = jnp.bincount(idx.ravel(), length=n_bins)
+    left = jnp.roll(cts, 1).at[0].set(jnp.iinfo(jnp.int32).max)
+    right = jnp.roll(cts, -1).at[-1].set(jnp.iinfo(jnp.int32).max)
+    is_peak = (cts > left) & (cts >= right)
+    any_peak = jnp.any(is_peak)
+    best = jnp.argmax(jnp.where(is_peak, cts, -1))
+    peak_val = (best.astype(jnp.float32) + 0.5) * bin_size
+    from .filters import counting_median
+    return jnp.where(any_peak, peak_val, counting_median(imf))
+
+
 def fit_fov_image(im: jnp.ndarray,
                   seeds: Optional[Seeds] = None,
                   max_num_seeds: int = 512,
@@ -396,15 +422,78 @@ def fit_fov_image(im: jnp.ndarray,
                   radius: int = 5,
                   lm_iters: int = 30,
                   n_max_iter: int = 10,
+                  normalize_background: bool = False,
                   **seed_kwargs) -> FitResult:
     """Seed + iteratively fit one image (reference spot_tools/fitting.py:169).
 
     Returns a fixed-capacity FitResult; rows are the reference 11-column
-    spot format [h, z, x, y, bk, wz, wx, wy, sin_t, sin_p, eps].
+    spot format [h, z, x, y, bk, wz, wx, wy, sin_t, sin_p, eps].  With
+    `normalize_background`, spot heights are divided by the image
+    background level (reference :240-247), the convention downstream
+    intensity-based scoring assumes.
     """
     if seeds is None:
         seeds = get_seeds(im, max_num_seeds=max_num_seeds, th_seed=th_seed,
                           **seed_kwargs)
-    return iter_fit_seed_points(im, seeds.coords.astype(jnp.float32),
-                                seeds.valid, radius=radius,
-                                lm_iters=lm_iters, n_max_iter=n_max_iter)
+    res = iter_fit_seed_points(im, seeds.coords.astype(jnp.float32),
+                               seeds.valid, radius=radius,
+                               lm_iters=lm_iters, n_max_iter=n_max_iter)
+    if normalize_background:
+        back = jnp.maximum(find_image_background(im), 1e-6)
+        res = res._replace(spots=res.spots.at[:, 0].set(res.spots[:, 0]
+                                                        / back))
+    return res
+
+
+def get_centers(im: jnp.ndarray, seeds: Optional[Seeds] = None,
+                th_seed: float = 150.0, max_num_seeds: int = 512,
+                radius: int = 5, remove_close_pts: bool = True,
+                close_threshold: float = 0.1,
+                **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fitted spot centers of one image -> ((N, 3) zxy, valid mask).
+
+    Behavior target: reference spot_tools/fitting.py:268-330 (get_centers):
+    seed + fit, then drop near-duplicate centers within `close_threshold`.
+    """
+    res = fit_fov_image(im, seeds=seeds, max_num_seeds=max_num_seeds,
+                        th_seed=th_seed, radius=radius, **kwargs)
+    centers = res.spots[:, 1:4]
+    valid = res.valid
+    if remove_close_pts:
+        valid = valid & _dedupe_mask(centers, valid, close_threshold)
+    return centers, valid
+
+
+@partial(jax.jit, static_argnames=())
+def _dedupe_mask(centers: jnp.ndarray, valid: jnp.ndarray,
+                 threshold: float) -> jnp.ndarray:
+    """Keep the first of any group of centers closer than `threshold`."""
+    n = centers.shape[0]
+    d = jnp.linalg.norm(centers[:, None] - centers[None], axis=-1)
+    both = valid[:, None] & valid[None]
+    close = (d < threshold) & both
+    earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
+    return ~jnp.any(close & earlier, axis=1)
+
+
+@partial(jax.jit, static_argnames=())
+def select_sparse_centers(centers: jnp.ndarray, valid: jnp.ndarray,
+                          distance_th: float = 25.0) -> jnp.ndarray:
+    """Greedy selection of mutually distant centers (first-come priority).
+
+    Behavior target: reference spot_tools/fitting.py select_sparse_centers
+    (:332-363): walk centers in order, keep one iff it is at least
+    `distance_th` away from every previously kept center.  Returns the
+    kept mask.  Used to pick isolated beads for chromatic / bleedthrough
+    profile fitting.
+    """
+    n = centers.shape[0]
+    d = jnp.linalg.norm(centers[:, None] - centers[None], axis=-1)
+
+    def body(i, kept):
+        near_kept = jnp.any(kept & (d[i] < distance_th)
+                            & (jnp.arange(n) != i))
+        keep_i = valid[i] & ~near_kept
+        return kept.at[i].set(keep_i)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros(n, bool))

@@ -1,0 +1,209 @@
+"""Post-analysis: partitioning, domain calling, compartments.
+
+Behavior targets: reference classes/partition_spots.py,
+domain_tools/{calling,distance}.py, compartment_tools/scoring.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from imageanalysis3_tpu.analysis import partition as PT
+from imageanalysis3_tpu.analysis import domains as DM
+from imageanalysis3_tpu.analysis import compartments as CP
+
+
+# ---------------------------------------------------------------------------
+# Partitioning
+# ---------------------------------------------------------------------------
+
+
+def _label_volume():
+    labels = np.zeros((12, 64, 64), np.int32)
+    labels[:, 5:25, 5:25] = 1
+    labels[:, 35:60, 10:40] = 2
+    labels[2:9, 30:34, 45:60] = 3
+    return labels
+
+
+def test_spots_to_labels_mode_vote():
+    labels = _label_volume()
+    coords = np.array([
+        [6, 15, 15],     # inside cell 1
+        [6, 45, 25],     # inside cell 2
+        [5, 31, 50],     # inside cell 3
+        [6, 26, 27],     # just outside cell 1: nearest labels win
+        [6, 2, 62],      # empty corner -> -1
+    ], np.float32)
+    valid = np.ones(5, bool)
+    got = np.asarray(PT.spots_to_labels(jnp.asarray(labels),
+                                        jnp.asarray(coords),
+                                        jnp.asarray(valid),
+                                        search_radius=3))
+    assert list(got[:3]) == [1, 2, 3]
+    assert got[3] in (1, 2)
+    assert got[4] == -1
+    # invalid spots report -1
+    got2 = np.asarray(PT.spots_to_labels(jnp.asarray(labels),
+                                         jnp.asarray(coords),
+                                         jnp.zeros(5, bool),
+                                         search_radius=3))
+    assert (got2 == -1).all()
+
+
+def test_spots_to_intensity():
+    im = np.zeros((8, 32, 32), np.float32)
+    im[4, 16, 16] = 500.0
+    coords = np.array([[4, 14, 14], [1, 2, 2]], np.float32)
+    got = np.asarray(PT.spots_to_intensity(jnp.asarray(im),
+                                           jnp.asarray(coords),
+                                           jnp.ones(2, bool),
+                                           search_radius=3))
+    assert got[0] == 500.0
+    assert got[1] == 0.0
+
+
+def test_count_genes():
+    labels_per_bit = {1: np.array([1, 1, 2, -1]), 2: np.array([2, 2, 2])}
+    counts, cells, bits = PT.count_genes(labels_per_bit)
+    assert list(cells) == [1, 2] and list(bits) == [1, 2]
+    np.testing.assert_array_equal(counts, [[2, 0], [1, 3]])
+
+
+def test_translate_label_image_identity_and_shift():
+    labels = _label_volume()
+    eye = jnp.eye(2)
+    out = np.asarray(PT.translate_label_image(jnp.asarray(labels), eye,
+                                              jnp.zeros(3)))
+    np.testing.assert_array_equal(out, labels)
+    # integer xy shift moves the mask
+    out2 = np.asarray(PT.translate_label_image(jnp.asarray(labels), eye,
+                                               jnp.asarray([0.0, 3.0, -2.0])))
+    np.testing.assert_array_equal(out2[:, 8:28, 3:23], labels[:, 5:25, 5:25])
+
+
+# ---------------------------------------------------------------------------
+# Domains
+# ---------------------------------------------------------------------------
+
+
+def _block_polymer(rng, sizes, step=80.0, jump=900.0):
+    """Trace with dense blocks separated by large jumps (clear domains)."""
+    pts = []
+    origin = np.zeros(3)
+    for s in sizes:
+        blk = origin + np.cumsum(rng.normal(0, step / np.sqrt(3), (s, 3)),
+                                 axis=0)
+        pts.append(blk)
+        origin = blk[-1] + rng.normal(0, jump / np.sqrt(3), 3) \
+            + np.array([jump, 0, 0])
+    return np.concatenate(pts)
+
+
+def test_sliding_window_dist_boundary_peak():
+    rng = np.random.default_rng(0)
+    zxys = _block_polymer(rng, [12, 12])
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    sig = np.asarray(DM.sliding_window_dist(jnp.asarray(dm), 5))
+    assert np.argmax(sig) == 12
+
+
+def test_basic_domain_calling_recovers_blocks():
+    rng = np.random.default_rng(1)
+    sizes = [14, 12, 16]
+    zxys = _block_polymer(rng, sizes)
+    starts = DM.basic_domain_calling(zxys, min_domain_size=5)
+    true_starts = np.cumsum([0] + sizes[:-1])
+    assert 0 in starts
+    for t in true_starts[1:]:
+        assert np.min(np.abs(starts - t)) <= 2, (starts, true_starts)
+    # no spurious extra boundaries (allow one)
+    assert len(starts) <= len(true_starts) + 1
+
+
+def test_insulation_domain_calling():
+    rng = np.random.default_rng(2)
+    sizes = [15, 15]
+    zxys = _block_polymer(rng, sizes)
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    starts = DM.insulation_domain_calling(dm, min_domain_size=5)
+    assert 0 in starts
+    assert np.min(np.abs(starts - 15)) <= 2, starts
+
+
+def test_domain_pdists_separation():
+    rng = np.random.default_rng(3)
+    zxys = _block_polymer(rng, [12, 12])
+    d = DM.domain_pdists(zxys, [0, 12])
+    assert d.shape == (1,)
+    assert d[0] > 1.0      # far-separated blocks
+
+
+def test_merge_domains_absorbs_false_boundary():
+    rng = np.random.default_rng(4)
+    # one well-mixed globule: both halves occupy the same space
+    zxys = rng.normal(0.0, 100.0, (24, 3))
+    starts = DM.merge_domains(zxys, [0, 12], dist_th=0.65)
+    assert list(starts) == [0]
+    # but truly separated blocks survive merging
+    zxys2 = _block_polymer(rng, [12, 12])
+    starts2 = DM.merge_domains(zxys2, [0, 12], dist_th=0.65)
+    assert list(starts2) == [0, 12]
+
+
+# ---------------------------------------------------------------------------
+# Compartments
+# ---------------------------------------------------------------------------
+
+
+def test_ab_projection_and_scores():
+    rng = np.random.default_rng(5)
+    n = 40
+    a_mask = np.zeros(n, bool)
+    a_mask[:20] = True
+    b_mask = ~a_mask
+    # A cloud around +x, B cloud around -x (in normalized coords)
+    zxys = np.where(a_mask[:, None],
+                    rng.normal([8.0, 0, 0], 2.0, (n, 3)),
+                    rng.normal([-8.0, 0, 0], 2.0, (n, 3)))
+    valid = np.ones(n, bool)
+    proj = np.asarray(CP.ab_axis_projection(jnp.asarray(zxys, jnp.float32),
+                                            jnp.asarray(valid),
+                                            jnp.asarray(a_mask),
+                                            jnp.asarray(b_mask)))
+    assert proj[a_mask, 0].mean() > proj[b_mask, 0].mean()
+
+    scores = np.asarray(CP.compartment_scores(
+        jnp.asarray(zxys, jnp.float32), jnp.asarray(valid),
+        jnp.asarray(a_mask), jnp.asarray(b_mask), grid_radius=16,
+        sigma=2.0))
+    assert np.nanmean(scores[a_mask]) > 0 > np.nanmean(scores[b_mask])
+    assert (scores[a_mask] > 0).mean() > 0.9
+
+
+def test_ab_eigenscore_splits_checkerboard():
+    rng = np.random.default_rng(6)
+    n = 40
+    comp = (np.arange(n) // 10) % 2      # ABAB blocks of 10
+    base = 600.0
+    dm = np.full((n, n), base)
+    same = comp[:, None] == comp[None, :]
+    dm[same] = 300.0
+    dm += rng.normal(0, 10, (n, n))
+    dm = (dm + dm.T) / 2
+    np.fill_diagonal(dm, 0.0)
+    ev = CP.ab_compartment_eigenscore(dm)
+    s = np.sign(np.nanmean(ev[comp == 0]))
+    assert (np.sign(ev[comp == 0]) == s).mean() > 0.9
+    assert (np.sign(ev[comp == 1]) == -s).mean() > 0.9
+
+
+def test_normalize_center_spots():
+    rng = np.random.default_rng(7)
+    zxys = rng.normal(5.0, 2.0, (30, 3)).astype(np.float32)
+    valid = np.ones(30, bool)
+    valid[3] = False
+    out = np.asarray(CP.normalize_center_spots(jnp.asarray(zxys),
+                                               jnp.asarray(valid)))
+    assert np.isnan(out[3]).all()
+    np.testing.assert_allclose(np.nanmean(out[valid], axis=0), 0.0,
+                               atol=1e-4)
