@@ -1,0 +1,161 @@
+"""Matplotlib rendering of pipeline outputs (headless-safe).
+
+See package docstring for the reference targets.  All functions accept an
+optional `ax`, return the matplotlib Axes, and never call plt.show() —
+callers decide presentation (the reference mixes show/save inline).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg", force=False)
+import matplotlib.pyplot as plt
+
+
+def plot_distance_map(distmap: np.ndarray, ax=None, cmap: str = "seismic_r",
+                      color_limits=(0, 1500), ticks=None,
+                      tick_labels=None, title: Optional[str] = None,
+                      colorbar: bool = True, figure_dpi: int = 150,
+                      save_path: Optional[str] = None):
+    """Render a chromosome distance map (reference plot_distance_map,
+    figure_tools/distmap.py:17-155)."""
+    dm = np.asarray(distmap, float)
+    if dm.shape[0] != dm.shape[1]:
+        raise ValueError(f"distmap must be square, got {dm.shape}")
+    if ax is None:
+        _, ax = plt.subplots(figsize=(4, 4), dpi=figure_dpi)
+    shown = np.clip(dm, min(color_limits), None)
+    im = ax.imshow(shown, cmap=cmap, interpolation="nearest",
+                   vmin=min(color_limits), vmax=max(color_limits))
+    if ticks is None:
+        step = max(int(2 * 10 ** np.floor(np.log10(max(len(dm), 1)))), 1)
+        ticks = np.arange(0, len(dm), step)
+    ax.set_xticks(ticks)
+    ax.set_yticks(ticks)
+    if tick_labels is not None:
+        lbl = [tick_labels[i] for i in ticks]
+        ax.set_xticklabels(lbl, rotation=60)
+        ax.set_yticklabels(lbl)
+    if title:
+        ax.set_title(title, fontsize=8)
+    if colorbar:
+        plt.colorbar(im, ax=ax, shrink=0.8)
+    if save_path:
+        ax.figure.savefig(save_path, transparent=True)
+    return ax
+
+
+def plot_boundaries(distmap: np.ndarray, starts: Sequence[int], ax=None,
+                    line_color: str = "y", line_width: float = 1.5,
+                    plot_limits=(0, 1000), figure_dpi: int = 150,
+                    save_path: Optional[str] = None):
+    """Distance map with domain boundaries drawn as step lines
+    (reference figure_tools/domain.py plot_boundaries)."""
+    dm = np.asarray(distmap, float)
+    ax = plot_distance_map(dm, ax=ax, color_limits=plot_limits,
+                           colorbar=False, figure_dpi=figure_dpi)
+    starts = sorted(int(s) for s in starts)
+    bounds = starts + [len(dm)]
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        ax.plot([s0 - 0.5, s1 - 0.5, s1 - 0.5],
+                [s0 - 0.5, s0 - 0.5, s1 - 0.5],
+                color=line_color, linewidth=line_width)
+        ax.plot([s0 - 0.5, s0 - 0.5, s1 - 0.5],
+                [s0 - 0.5, s1 - 0.5, s1 - 0.5],
+                color=line_color, linewidth=line_width)
+    ax.set_xlim(-0.5, len(dm) - 0.5)
+    ax.set_ylim(len(dm) - 0.5, -0.5)
+    if save_path:
+        ax.figure.savefig(save_path, transparent=True)
+    return ax
+
+
+def plot_projection(im: np.ndarray, axis: int = 0, mode: str = "max",
+                    ax=None, cmap: str = "gray", percentiles=(1, 99.5),
+                    spots: Optional[np.ndarray] = None,
+                    figure_dpi: int = 150,
+                    save_path: Optional[str] = None):
+    """Project a 3D stack and render it, optionally with spot overlays
+    (reference figure_tools/image.py:27-190)."""
+    im = np.asarray(im, float)
+    proj = im.max(axis=axis) if mode == "max" else im.mean(axis=axis)
+    vmin, vmax = np.percentile(proj, percentiles)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(4, 4), dpi=figure_dpi)
+    ax.imshow(proj, cmap=cmap, vmin=vmin, vmax=vmax)
+    if spots is not None and len(spots):
+        zxy = np.asarray(spots)
+        if zxy.ndim == 2 and zxy.shape[1] >= 4:
+            zxy = zxy[:, 1:4]
+        keep = [i for i in range(3) if i != axis]
+        ax.plot(zxy[:, keep[1]], zxy[:, keep[0]], "r+", markersize=4,
+                markeredgewidth=0.6)
+    ax.set_axis_off()
+    if save_path:
+        ax.figure.savefig(save_path, transparent=True)
+    return ax
+
+
+def plot_spot_overlay(im: np.ndarray, spots: np.ndarray, valid=None,
+                      **kwargs):
+    """Max projection with fitted spots marked (QC shorthand)."""
+    spots = np.asarray(spots)
+    if valid is not None:
+        spots = spots[np.asarray(valid, bool)]
+    return plot_projection(im, spots=spots, **kwargs)
+
+
+def plot_decode_stats(groups, ax=None, figure_dpi: int = 150,
+                      save_path: Optional[str] = None):
+    """Decode statistics: groups per region id + tuple-size histogram
+    (reference figure_tools/plot_decode.py:66+)."""
+    ok = np.asarray(groups.ok)
+    regions = np.asarray(groups.region)[ok]
+    n_spots = np.asarray(groups.n_spots)[ok]
+    if ax is None:
+        fig, axes = plt.subplots(1, 2, figsize=(7, 3), dpi=figure_dpi)
+    else:
+        axes = ax
+    uniq, cts = np.unique(regions, return_counts=True)
+    axes[0].bar(uniq.astype(str), cts)
+    axes[0].set_xlabel("region id")
+    axes[0].set_ylabel("decoded groups")
+    axes[0].tick_params(axis="x", rotation=90, labelsize=5)
+    sizes, scts = np.unique(n_spots, return_counts=True)
+    axes[1].bar(sizes.astype(str), scts)
+    axes[1].set_xlabel("spots per tuple")
+    if save_path:
+        axes[0].figure.savefig(save_path, transparent=True)
+    return axes
+
+
+def plot_segmentation_labels(labels: np.ndarray, z: Optional[int] = None,
+                             ax=None, figure_dpi: int = 150,
+                             spots: Optional[np.ndarray] = None,
+                             save_path: Optional[str] = None):
+    """Label-volume slice with random label colors (reference
+    figure_tools/plot_segmentation.py)."""
+    lab = np.asarray(labels)
+    plane = lab[z] if (lab.ndim == 3 and z is not None) else \
+        (lab.max(axis=0) if lab.ndim == 3 else lab)
+    n = int(plane.max()) + 1
+    rng = np.random.default_rng(0)
+    lut = np.vstack([[0, 0, 0], rng.uniform(0.2, 1.0, (max(n - 1, 1), 3))])
+    rgb = lut[np.clip(plane, 0, n - 1)]
+    if ax is None:
+        _, ax = plt.subplots(figsize=(4, 4), dpi=figure_dpi)
+    ax.imshow(rgb)
+    if spots is not None and len(spots):
+        zxy = np.asarray(spots)
+        if zxy.shape[1] >= 4:
+            zxy = zxy[:, 1:4]
+        ax.plot(zxy[:, 2], zxy[:, 1], "w+", markersize=4,
+                markeredgewidth=0.6)
+    ax.set_axis_off()
+    if save_path:
+        ax.figure.savefig(save_path, transparent=True)
+    return ax
