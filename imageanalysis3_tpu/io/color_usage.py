@@ -82,6 +82,62 @@ def load_color_usage(path_or_folder: str,
     return ColorUsage(channels=channels, usage=usage, has_dapi=has_dapi)
 
 
+def load_encoding_scheme(master_folder: str,
+                         encoding_filename: str = "Encoding_Scheme",
+                         fmt: str = "csv"):
+    """Combinatorial encoding scheme: hyb folder -> encoding matrix rows.
+
+    Behavior target: get_img_info.py:526-631 (Load_Encoding_Scheme): a CSV
+    whose rows are hyb-folder names with per-channel encoded region ids
+    ('' -> -1), plus num_hyb / num_reg / num_color header rows.  Returns
+    (scheme dict folder -> list[int], info dict).
+    """
+    path = os.path.join(master_folder, f"{encoding_filename}.{fmt}")
+    delim = "\t" if fmt in ("tsv", "txt") else ","
+    scheme: Dict[str, List[int]] = {}
+    info: Dict[str, int] = {}
+    with open(path, "r") as fh:
+        reader = csv.reader(fh, delimiter=delim)
+        next(reader)                      # header
+        for row in reader:
+            if not row:
+                continue
+            key = row[0]
+            vals = [(-1 if v == "" else v) for v in row[1:]]
+            if key in ("num_hyb", "num_reg", "num_color", "num_group"):
+                info[key] = int(vals[0])
+            else:
+                scheme[key] = [int(v) for v in vals]
+    return scheme, info
+
+
+def load_region_positions(analysis_folder: str,
+                          filename: str = "Region_Positions",
+                          fmt: str = "csv"):
+    """Region id -> genomic position table (reference get_img_info.py:
+    169-233 Load_Region_Positions): columns region, chr, start, end."""
+    path = os.path.join(analysis_folder, f"{filename}.{fmt}")
+    delim = "\t" if fmt in ("tsv", "txt") else ","
+    out: Dict[int, Dict[str, object]] = {}
+    with open(path, "r") as fh:
+        reader = csv.reader(fh, delimiter=delim)
+        header = [h.strip().lower() for h in next(reader)]
+        for row in reader:
+            if not row or not row[0].strip():
+                continue
+            rec = {h: v for h, v in zip(header, row)}
+            rid = int(rec.get("region", rec.get(header[0])))
+            entry: Dict[str, object] = {}
+            for k in ("chr", "chromosome"):
+                if k in rec:
+                    entry["chr"] = rec[k]
+            for k in ("start", "end", "midpoint"):
+                if k in rec and rec[k] != "":
+                    entry[k] = float(rec[k])
+            out[rid] = entry
+    return out
+
+
 _HYB_RE = re.compile(r"^H(\d+)")
 
 

@@ -222,13 +222,12 @@ def _build_aligner(crops_key, upsample_factor, normalization,
         src_b = _gather_crops(src.astype(jnp.float32), crops_key)
         ref_b = _gather_crops(ref.astype(jnp.float32), crops_key)
 
-        def one(pair):
-            s, r = pair
+        def one(s, r):
             return subpixel_phase_correlation(
                 r, s, upsample_factor=upsample_factor,
                 normalization=normalization)
 
-        drifts = jax.lax.map(one, (src_b, ref_b))
+        drifts = jax.vmap(one)(src_b, ref_b)
         return consensus_drift(drifts, drift_diff_th=drift_diff_th,
                                min_good_drifts=min_good_drifts)
 

@@ -131,6 +131,103 @@ def align_beads(tar_cts: jnp.ndarray, tar_valid: jnp.ndarray,
     return pairs
 
 
+# ---------------------------------------------------------------------------
+# Re-mount / cross-experiment rigid alignment
+# ---------------------------------------------------------------------------
+
+
+def rigid_transform_from_points(before, after):
+    """Best-fit rigid transform (R, t) with after ~= before @ R + t.
+
+    Behavior target: align_manual_points
+    (correction_tools/alignment.py:7-77): SVD of the centered cross
+    covariance, det-corrected rotation, translation from the centroids.
+    Host-side numpy (a handful of manually picked points).
+    """
+    import numpy as np
+
+    before = np.asarray(before, np.float64)
+    after = np.asarray(after, np.float64)
+    c_before = before.mean(axis=0)
+    c_after = after.mean(axis=0)
+    h = (before - c_before).T @ (after - c_after)
+    u, _, v = np.linalg.svd(h)
+    r = (v @ u.T).T
+    if np.linalg.det(r) < 0:
+        r[:, -1] = -r[:, -1]
+    t = -c_before @ r + c_after
+    return r, t
+
+
+def align_manual_points(pos_file_before: str, pos_file_after: str):
+    """File front door matching the reference signature: two comma-
+    delimited stage-position files -> (R, t)."""
+    import numpy as np
+
+    return rigid_transform_from_points(
+        np.loadtxt(pos_file_before, delimiter=","),
+        np.loadtxt(pos_file_after, delimiter=","))
+
+
+@jax.jit
+def translate_spot_coordinates(spots: jnp.ndarray, rotation_xy: jnp.ndarray,
+                               center_xy: jnp.ndarray,
+                               drift: Optional[jnp.ndarray] = None
+                               ) -> jnp.ndarray:
+    """Rotate spot xy about the image center and shift — spots into
+    another experiment's frame (reference MicroscopeTranslate_Spots /
+    translate_spot_coordinates, spot_tools/translating.py:95-149).
+
+    spots: (N, 11) natural rows; z passes through.
+    """
+    if drift is None:
+        drift = jnp.zeros(3, jnp.float32)
+    xy = spots[:, 2:4] - center_xy[None]
+    new_xy = xy @ rotation_xy.astype(spots.dtype) + center_xy[None]
+    out = spots.at[:, 2:4].set(new_xy)
+    return out.at[:, 1:4].add(drift[None])
+
+
+def select_matched_spots(cand_spots, ref_zxy, dist_th_nm: float,
+                         pixel_size_nm=(200.0, 108.0, 108.0)):
+    """Brightest candidate within `dist_th_nm` of a reference position ->
+    (row, found) — the per-region core of convert_pick_RNA_spots
+    (spot_tools/matching.py:6-88)."""
+    import numpy as np
+
+    cand = np.atleast_2d(np.asarray(cand_spots))
+    if cand.size == 0:
+        return np.full(11, np.nan), False
+    px = np.asarray(pixel_size_nm)
+    d = np.linalg.norm((cand[:, 1:4] - np.asarray(ref_zxy)[None]) * px,
+                       axis=1)
+    keep = d <= dist_th_nm
+    if not keep.any():
+        return np.full(11, np.nan), False
+    sub = cand[keep]
+    return sub[np.argmax(sub[:, 0])], True
+
+
+def generate_recombined_spots(repeat_cand_spots, repeat_ids,
+                              original_cand_spots, original_ids):
+    """Replace relabeled regions' candidates with the repeat-hyb fits
+    (reference spot_tools/relabelling.py:6-31)."""
+    import numpy as np
+
+    if len(repeat_cand_spots) != len(repeat_ids):
+        raise IndexError("repeat spots/ids length mismatch")
+    if len(original_cand_spots) != len(original_ids):
+        raise IndexError("original spots/ids length mismatch")
+    out = list(original_cand_spots)
+    original_ids = np.asarray(original_ids)
+    for rid, spots in zip(repeat_ids, repeat_cand_spots):
+        idx = np.where(original_ids == rid)[0]
+        if len(idx) != 1:
+            raise ValueError(f"region {rid} has {len(idx)} matches")
+        out[int(idx[0])] = spots
+    return out
+
+
 @jax.jit
 def accumulate_sequential_drifts(step_drifts: jnp.ndarray) -> jnp.ndarray:
     """Cumulative drift vs round 0 from consecutive-round step drifts.

@@ -1,5 +1,9 @@
 """Pipeline orchestration: per-FOV processing, batching, checkpointing."""
 
 from .fov import FovPipeline, RoundResult
+from .experiment import ExperimentDriver, RoundPlan, StageTimes
+from .dax_processer import DaxProcesser
+from .field_of_view import FieldOfView
 
-__all__ = ["FovPipeline", "RoundResult"]
+__all__ = ["FovPipeline", "RoundResult", "ExperimentDriver", "RoundPlan",
+           "StageTimes", "DaxProcesser", "FieldOfView"]

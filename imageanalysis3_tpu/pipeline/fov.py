@@ -134,12 +134,13 @@ class FovPipeline:
             src_b = jnp.stack([_crop(src_im, b) for b in crops])
             ref_b = jnp.stack([_crop(ref_im, b) for b in crops])
 
-            def one(pair):
-                s, r = pair
+            def one(s, r):
                 return subpixel_phase_correlation(
                     r, s, upsample_factor=cfg.drift.upsample_factor)
 
-            drifts = jax.lax.map(one, (src_b, ref_b))
+            # vmap batches all 8 crops' FFTs into single kernels (a
+            # sequential lax.map left the FFT units half idle)
+            drifts = jax.vmap(one)(src_b, ref_b)
             return consensus_drift(
                 drifts, drift_diff_th=cfg.drift.good_drift_th,
                 min_good_drifts=cfg.drift.min_good_drifts)
