@@ -10,6 +10,12 @@ from .compartments import (normalize_center_spots, ab_axis_projection,
                            ab_compartment_eigenscore)
 from .partition import (spots_to_labels, spots_to_intensity, count_genes,
                         translate_label_image)
+from .structure import (contact_map, domain_contact_freq,
+                        inter_domain_interactions, loop_out_scores,
+                        call_loop_outs, genome_distance_summary)
+from .population import (load_bed, region_overlap_fraction,
+                         assign_compartments_from_domains,
+                         CellTypeClassifier)
 
 __all__ = [
     "spots_to_zxy_nm", "distance_map", "median_distance_map",
@@ -20,4 +26,8 @@ __all__ = [
     "compartment_scores", "ab_compartment_eigenscore",
     "spots_to_labels", "spots_to_intensity", "count_genes",
     "translate_label_image",
+    "contact_map", "domain_contact_freq", "inter_domain_interactions",
+    "loop_out_scores", "call_loop_outs", "genome_distance_summary",
+    "load_bed", "region_overlap_fraction",
+    "assign_compartments_from_domains", "CellTypeClassifier",
 ]

@@ -115,6 +115,7 @@ def find_neighbors(positions: jnp.ndarray, valid: jnp.ndarray,
     decode.py:207-241); self-pairs excluded.
     """
     n = positions.shape[0]
+    k = min(k, max(n - 1, 1))
     pos = jnp.where(valid[:, None], positions, 1e9)
     sq = jnp.sum(pos * pos, axis=1)
 
