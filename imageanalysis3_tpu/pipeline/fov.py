@@ -138,12 +138,30 @@ class FovPipeline:
                 return subpixel_phase_correlation(
                     r, s, upsample_factor=cfg.drift.upsample_factor)
 
-            # vmap batches all 8 crops' FFTs into single kernels (a
-            # sequential lax.map left the FFT units half idle)
-            drifts = jax.vmap(one)(src_b, ref_b)
-            return consensus_drift(
-                drifts, drift_diff_th=cfg.drift.good_drift_th,
+            # two-phase consensus, the reference's early exit
+            # (correction_tools/alignment.py:624-674: stop when >=
+            # min_good_drifts crops agree): register the first half of the
+            # crops batched via vmap; only when they disagree does the
+            # cond branch spend FFTs on the remaining crops.
+            k = len(crops)
+            k1 = max(cfg.drift.min_good_drifts, k // 2)
+            drifts1 = jax.vmap(one)(src_b[:k1], ref_b[:k1])
+            out1, flag1 = consensus_drift(
+                drifts1, drift_diff_th=cfg.drift.good_drift_th,
                 min_good_drifts=cfg.drift.min_good_drifts)
+            if k1 == k:
+                return out1, flag1
+
+            def rest(_):
+                drifts2 = jax.vmap(one)(src_b[k1:], ref_b[k1:])
+                return consensus_drift(
+                    jnp.concatenate([drifts1, drifts2]),
+                    drift_diff_th=cfg.drift.good_drift_th,
+                    min_good_drifts=cfg.drift.min_good_drifts)
+
+            return jax.lax.cond(flag1 == 0,
+                                lambda _: (out1, flag1), rest,
+                                operand=None)
 
         def fit_channel(im, th_seed):
             seeds = get_seeds(
