@@ -90,7 +90,8 @@ class FovStore:
         g.create_dataset("n_spots", data=np.zeros(n, np.int32))
 
     def data_types(self) -> List[str]:
-        return [k for k in self._fh.keys() if k != "segmentation"]
+        return [k for k in self._fh.keys()
+                if k not in ("segmentation", "signal")]
 
     def region_index(self, data_type: str, region_id: int) -> int:
         ids = self._fh[data_type]["ids"][:]
@@ -156,6 +157,52 @@ class FovStore:
             if int(g["flags"][i]) > FLAG_EMPTY:
                 out[int(rid)] = g["spots"][i, :n]
         return out
+
+    # -- corrected images (optional heavy payload) -------------------------
+
+    def save_image(self, data_type: str, region_id: int,
+                   im: np.ndarray) -> None:
+        """Persist one region's corrected image stack (reference
+        save_image_to_fov_file `ims` dataset,
+        classes/batch_functions.py:305-368).  The dataset is created
+        lazily on first save so spot-only runs pay nothing."""
+        g = self._fh[data_type]
+        i = self.region_index(data_type, region_id)
+        if "ims" not in g:
+            n = len(g["ids"])
+            g.create_dataset("ims", shape=(n,) + im.shape,
+                             dtype=np.uint16,
+                             chunks=(1,) + im.shape,
+                             compression="gzip", compression_opts=1)
+        g["ims"][i] = np.clip(np.asarray(im), 0, 65535).astype(np.uint16)
+
+    def load_image(self, data_type: str, region_id: int) -> np.ndarray:
+        g = self._fh[data_type]
+        if "ims" not in g:
+            raise KeyError(f"no images saved for {data_type}")
+        return g["ims"][self.region_index(data_type, region_id)]
+
+    def has_image(self, data_type: str, region_id: int) -> bool:
+        g = self._fh[data_type]
+        return "ims" in g and bool(
+            np.any(g["ims"][self.region_index(data_type, region_id)]))
+
+    # -- signal group (chromosome coordinates etc.) ------------------------
+
+    def save_signal(self, name: str, data: np.ndarray, **attrs) -> None:
+        """`signal` group datasets (reference chrom_coords / intensity
+        thresholds, classes/field_of_view.py:1184-1245)."""
+        g = self._fh.require_group("signal")
+        if name in g:
+            del g[name]
+        d = g.create_dataset(name, data=np.asarray(data))
+        for k, v in attrs.items():
+            d.attrs[k] = v
+
+    def load_signal(self, name: str):
+        if "signal" not in self._fh or name not in self._fh["signal"]:
+            return None
+        return self._fh["signal"][name][:]
 
     # -- segmentation ----------------------------------------------------
 

@@ -115,7 +115,8 @@ class ExperimentDriver:
                  bleed_profile: Optional[np.ndarray] = None,
                  chromatic_constants: Optional[Dict[str, np.ndarray]] = None,
                  spot_capacity: Optional[int] = None,
-                 bead_name: str = "beads"):
+                 bead_name: str = "beads",
+                 save_images: bool = False):
         self.data_folder = data_folder
         self.save_folder = save_folder
         os.makedirs(save_folder, exist_ok=True)
@@ -130,6 +131,10 @@ class ExperimentDriver:
         self.bleed_profile = bleed_profile
         self.chromatic_constants = chromatic_constants or {}
         self.spot_capacity = spot_capacity or self.cfg.seed.max_num_seeds
+        #: also persist corrected image stacks (reference `ims` datasets,
+        #: classes/batch_functions.py:305-368); off by default — spots and
+        #: drifts are the scientific output, images are QC payload
+        self.save_images = bool(save_images)
         self._pipelines: Dict[Tuple, FovPipeline] = {}
         self.timings = StageTimes()
         self._plans = self._build_plans()
@@ -271,11 +276,10 @@ class ExperimentDriver:
                 return processed
 
             ref_im = self._reference_image(fov_name)
-            for plan in todo:
-                pipe = self._pipeline_for(plan)
-                ims = self._load_round(plan, fov_name)
+
+            def flush(plan, res, ims):
+                """Block on one round's device result and persist it."""
                 t0 = time.perf_counter()
-                res = pipe.process_round(ims, ref_im)
                 jax.block_until_ready(res)
                 self.timings.add("process_round", time.perf_counter() - t0,
                                  folder=self._folder_key(plan.folder))
@@ -285,6 +289,12 @@ class ExperimentDriver:
                 spots = np.asarray(res.spots)
                 raw = np.asarray(res.raw_spots)
                 valid = np.asarray(res.valid)
+                corrected_ims = None
+                if self.save_images:
+                    import jax.numpy as jnp
+                    pipe = self._pipeline_for(plan)
+                    corrected_ims = np.asarray(
+                        pipe.correct_jit(jnp.asarray(ims)))
                 for ci, (dtype, rid) in zip(plan.fit_channel_indices,
                                             plan.regions):
                     if rid not in pending[dtype]:
@@ -293,9 +303,26 @@ class ExperimentDriver:
                     store.save_spots(dtype, rid, spots[ci][sel],
                                      raw[ci][sel], drift,
                                      flag=FLAG_CORRECTED, drift_flag=dflag)
+                    if corrected_ims is not None:
+                        store.save_image(dtype, rid, corrected_ims[ci])
                     processed[dtype] += 1
                 store.flush()
                 self.timings.add("save", time.perf_counter() - t0)
+
+            # one-round readahead: dispatch round r+1 to the device before
+            # blocking/persisting round r, so host dax reads and HDF5
+            # writes overlap device compute (the TPU analog of the
+            # reference worker pool, classes/field_of_view.py:1128-1142)
+            in_flight = None
+            for plan in todo:
+                pipe = self._pipeline_for(plan)
+                ims = self._load_round(plan, fov_name)
+                res = pipe.process_round(ims, ref_im)   # async dispatch
+                if in_flight is not None:
+                    flush(*in_flight)
+                in_flight = (plan, res, ims)
+            if in_flight is not None:
+                flush(*in_flight)
         return processed
 
     def process_all(self, overwrite: bool = False) -> Dict[str, Dict[str, int]]:

@@ -95,3 +95,28 @@ def test_color_usage_and_folders(tmp_path):
     names = [os.path.basename(f) for f in folders]
     assert names == ["H0R0", "H1R1", "H2R2", "H10R10"]
     assert fovs == ["Conv_zscan_00.dax", "Conv_zscan_01.dax"]
+
+
+def test_store_images_and_signal(tmp_path):
+    """Optional `ims` payload + `signal` group (reference
+    classes/batch_functions.py:305-368, field_of_view.py:1184-1245)."""
+    import numpy as np
+    from imageanalysis3_tpu.io.store import FovStore
+
+    path = str(tmp_path / "imstore.hdf5")
+    rng = np.random.default_rng(0)
+    im = rng.integers(0, 5000, size=(4, 16, 16)).astype(np.uint16)
+    with FovStore(path) as store:
+        store.init_data_type("unique", [1, 2], ["750", "647"],
+                             spot_capacity=8)
+        assert not store.has_image("unique", 1)
+        store.save_image("unique", 1, im)
+        assert store.has_image("unique", 1)
+        np.testing.assert_array_equal(store.load_image("unique", 1), im)
+        store.save_signal("chrom_coords", np.array([[1.0, 2, 3]]),
+                          threshold=5.0)
+    with FovStore(path, "r") as store:
+        np.testing.assert_array_equal(store.load_signal("chrom_coords"),
+                                      [[1.0, 2, 3]])
+        assert store.load_signal("missing") is None
+        assert store.data_types() == ["unique"]
