@@ -88,17 +88,86 @@ def _band_matrix(n: int, kernel_key: tuple, mode: str) -> np.ndarray:
     return w.astype(np.float32)
 
 
+@lru_cache(maxsize=256)
+def _block_band(n: int, block: int, kernel_key: tuple, mode: str
+                ) -> np.ndarray:
+    """(nb, B, 3B) per-block slices of the band matrix: block j of the
+    output contracts with input blocks j-1, j, j+1 (zero-padded at the
+    ends).  Exact as long as the kernel radius < block."""
+    w = _band_matrix(n, kernel_key, mode)
+    nb = n // block
+    out = np.zeros((nb, block, 3 * block), np.float32)
+    for j in range(nb):
+        lo = (j - 1) * block
+        for c in range(3 * block):
+            src = lo + c
+            if 0 <= src < n:
+                out[j, :, c] = w[j * block:(j + 1) * block, src]
+    return out
+
+
 def _conv1d_along_axis(im: jnp.ndarray, kernel: jnp.ndarray, axis: int,
                        mode: str) -> jnp.ndarray:
     """Correlate `im` with 1D `kernel` along `axis` with scipy boundary
-    mode, as a banded-matrix contraction on the MXU (see _band_matrix).
+    mode, picking the cheapest exact strategy for the kernel/axis sizes:
 
-    einsum with the output in the input's axis order lowers to a (batched)
-    dot_general in the native layout — no transposes.
+    * few taps (k <= 9): padded shift-multiply-add — pure VPU, ~k passes
+      that XLA fuses (a dense matmul would waste n/k of the MXU work);
+    * wide kernels on long axes: block-banded matmul — (B, 3B) blocks on
+      the MXU, 3B/n of the dense cost;
+    * otherwise: dense banded matmul (boundary modes folded in).
+
+    All einsums keep the output in the input's axis order, so they lower
+    to (batched) dot_general in the native layout — no transposes.
     """
     kernel = np.asarray(kernel)
-    w = jnp.asarray(_band_matrix(im.shape[axis], tuple(kernel.tolist()),
-                                 mode))
+    k = kernel.shape[0]
+    n = im.shape[axis]
+    radius = k // 2
+    key = tuple(kernel.tolist())
+
+    if k <= 9 and n > k:
+        pad = [(0, 0)] * im.ndim
+        pad[axis] = (radius, radius)
+        padded = jnp.pad(im, pad, mode=_SCIPY2JNP_PAD[mode])
+        out = None
+        for t in range(k):
+            sl = [slice(None)] * im.ndim
+            sl[axis] = slice(t, t + n)
+            term = padded[tuple(sl)] * float(kernel[t])
+            out = term if out is None else out + term
+        return out
+
+    block = 128
+    while block < radius + 1:
+        block *= 2
+    if n % block == 0 and n // block >= 4:
+        nb = n // block
+        wb = jnp.asarray(_block_band(n, block, key, mode))
+        # reshape the target axis into (nb, B) and gather j-1/j/j+1 blocks
+        new_shape = im.shape[:axis] + (nb, block) + im.shape[axis + 1:]
+        xb = im.reshape(new_shape)
+        zpad = [(0, 0)] * xb.ndim
+        zpad[axis] = (1, 1)
+        xp = jnp.pad(xb, zpad)
+        sl = [slice(None)] * xb.ndim
+
+        def take(s0, s1):
+            s = list(sl)
+            s[axis] = slice(s0, s1)
+            return xp[tuple(s)]
+
+        x3 = jnp.concatenate([take(0, nb), take(1, nb + 1),
+                              take(2, nb + 2)], axis=axis + 1)
+        letters = "abcdefg"[:im.ndim - 1]
+        pre = letters[:axis]
+        post = letters[axis:]
+        spec = (f"JKB,{pre}JB{post}->{pre}JK{post}")
+        out = jnp.einsum(spec, wb, x3,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(im.shape)
+
+    w = jnp.asarray(_band_matrix(n, key, mode))
     letters = "abcdefgh"[:im.ndim]
     src = letters[axis]
     out = letters[:axis] + "J" + letters[axis + 1:]
