@@ -1,0 +1,168 @@
+"""Pallas TPU kernels for the seeding hot path.
+
+The seeding level pass (ops/seeding.py) runs several XLA stages over each
+slab after the two Gaussian blurs: a 3^3 maximum filter on the foreground
+blur, a 3^3 minimum filter on the background blur, and the local-max /
+threshold-level classification.  Each stage is HBM-bandwidth bound;
+fusing them into one Pallas kernel reads the two blurred stacks once and
+writes the (int8 level, f32 diff) outputs once — the speed-of-light form
+of the stencil.
+
+The kernel tiles (Z, X, Y) over an (x, y) grid; each program DMAs a
+halo-1 window from HBM into VMEM (overlapping windows aren't expressible
+as BlockSpecs; Mosaic requires (8, 128)-aligned slices, so windows
+over-fetch to the alignment), computes the separable 3-point min/max
+stencil and the level classification on the VPU.  `interpret=True` runs
+the same kernel under the Pallas interpreter — how the CPU test mesh
+exercises it.
+
+Measured on a v5e chip at 60x2048x2048: 0.072 s fused vs 0.069 s for the
+unfused XLA stages — XLA's own fusion already reaches bandwidth here, and
+the alignment over-fetch (a (48, 384) window per (16, 128) core) offsets
+the single-pass advantage.  The production seeding path therefore keeps
+the XLA form (ops/seeding.py); this kernel stays as the measured,
+exact-parity Pallas alternative and the template for future stencils.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stencil_kernel(params_smem, max_hbm, min_hbm, level_out, diff_out,
+                    max_vmem, min_vmem, sem):
+    """One (Z, BX, BY) core tile: 3^3 max/min stencil + level classify.
+
+    Mosaic requires HBM DMA slices aligned to the (8, 128) register
+    tiling, so each program over-fetches an aligned window: the sources
+    are pre-padded by (8, 128) and the window [i*BX, i*BX+BX+16) x
+    [j*BY, j*BY+BY+256) in padded coordinates covers the core tile (at
+    offset (8, 128)) plus its halo-1 ring.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    z, bxw, byw = max_vmem.shape          # (Z, BX+16, BY+256)
+    bx, by = bxw - 16, byw - 256
+
+    cp1 = pltpu.make_async_copy(
+        max_hbm.at[:, pl.ds(i * bx, bxw), pl.ds(j * by, byw)],
+        max_vmem, sem.at[0])
+    cp2 = pltpu.make_async_copy(
+        min_hbm.at[:, pl.ds(i * bx, bxw), pl.ds(j * by, byw)],
+        min_vmem, sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    th = params_smem[0]
+    n_lvl = params_smem[1].astype(jnp.int32)
+    edge = params_smem[2].astype(jnp.int32)
+    fz = params_smem[3].astype(jnp.int32)
+    fx = params_smem[4].astype(jnp.int32)
+    fy = params_smem[5].astype(jnp.int32)
+    x0 = i * bx
+    y0 = j * by
+
+    def sep_reduce(v, op):
+        """3-point separable window reduce -> core tile (halo'd input).
+        z boundary: edge replication (== scipy 'reflect' for a 3-window).
+        """
+        up = jnp.concatenate([v[:1], v[:-1]], axis=0)
+        dn = jnp.concatenate([v[1:], v[-1:]], axis=0)
+        v = op(op(up, v), dn)
+        v = op(op(v[:, :-2], v[:, 1:-1]), v[:, 2:])
+        return op(op(v[:, :, :-2], v[:, :, 1:-1]), v[:, :, 2:])
+
+    # halo-1 window around the core: padded offsets [7, bx+9) x [127, by+129)
+    mx = max_vmem[:, 7:bx + 9, 127:by + 129]
+    mn = min_vmem[:, 7:bx + 9, 127:by + 129]
+    max3 = sep_reduce(mx, jnp.maximum)
+    min3 = sep_reduce(mn, jnp.minimum)
+    core_max = mx[:, 1:-1, 1:-1]
+    core_min = mn[:, 1:-1, 1:-1]
+    local_max = (max3 == core_max) & (min3 != core_min)
+    diff = core_max - core_min
+
+    zi = jax.lax.broadcasted_iota(jnp.int32, (z, bx, by), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (z, bx, by), 1) + x0
+    yi = jax.lax.broadcasted_iota(jnp.int32, (z, bx, by), 2) + y0
+    edge_ok = ((zi >= edge) & (zi <= fz - edge)
+               & (xi >= edge) & (xi <= fx - edge)
+               & (yi >= edge) & (yi <= fy - edge))
+    qualify = local_max & edge_ok
+
+    frac = 1.0 - diff / jnp.maximum(th, 1e-6)
+    level = jnp.ceil(frac * n_lvl.astype(jnp.float32)).astype(jnp.int32)
+    level = jnp.clip(level, 0, n_lvl)
+    level = jnp.where(qualify, level, n_lvl)
+
+    # int32 block output (int8 would demand a (32, 128) min tile
+    # and larger VMEM windows); cast to int8 happens outside
+    level_out[:] = level
+    diff_out[:] = diff
+
+
+@partial(jax.jit, static_argnames=("n_lvl", "min_edge_distance",
+                                   "block_x", "block_y", "interpret"))
+def level_stencil_pallas(max_im: jnp.ndarray, min_im: jnp.ndarray,
+                         th_seed, n_lvl: int,
+                         min_edge_distance: int = 2,
+                         block_x: int = 16, block_y: int = 128,
+                         interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused 3^3 max/min stencil + threshold-level classification.
+
+    max_im / min_im: the foreground / background blurred stacks (Z, X, Y).
+    Returns (level int8, diff f32, counts (n_lvl,)) with the exact
+    semantics of the unfused path in ops/seeding.py.
+    """
+    z, x, y = max_im.shape
+    assert x % block_x == 0 and y % block_y == 0
+    gx, gy = x // block_x, y // block_y
+    # (8, 128)-aligned over-fetch padding (see kernel docstring); edge
+    # replication keeps the stencil's boundary semantics
+    pad = ((0, 0), (8, 8), (128, 128))
+    mx = jnp.pad(max_im.astype(jnp.float32), pad, mode="edge")
+    mn = jnp.pad(min_im.astype(jnp.float32), pad, mode="edge")
+    params = jnp.asarray([float(th_seed) if np.isscalar(th_seed) else 0.0,
+                          float(n_lvl), float(min_edge_distance),
+                          float(z), float(x), float(y)], jnp.float32)
+    if not np.isscalar(th_seed):
+        params = params.at[0].set(jnp.asarray(th_seed, jnp.float32))
+
+    level, diff = pl.pallas_call(
+        _stencil_kernel,
+        grid=(gx, gy),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((z, block_x, block_y), lambda i, j: (0, i, j)),
+            pl.BlockSpec((z, block_x, block_y), lambda i, j: (0, i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, x, y), jnp.int32),
+            jax.ShapeDtypeStruct((z, x, y), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((z, block_x + 16, block_y + 256), jnp.float32),
+            pltpu.VMEM((z, block_x + 16, block_y + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(params, mx, mn)
+    level = level.astype(jnp.int8)
+    # per-level counts as compare-reduces over the int8 map (cheap)
+    counts = jnp.stack([jnp.sum((level == k).astype(jnp.int32))
+                        for k in range(n_lvl)])
+    return level, diff, counts

@@ -1,0 +1,39 @@
+"""Pallas fused seeding stencil: exact parity with the XLA path
+(interpret mode on the CPU test mesh; compiled-mode parity verified on
+the v5e chip — see ops/pallas_kernels.py docstring)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from imageanalysis3_tpu.ops.pallas_kernels import level_stencil_pallas
+from imageanalysis3_tpu.ops.filters import (gaussian_filter, maximum_filter,
+                                            minimum_filter)
+
+
+def test_level_stencil_matches_unfused():
+    rng = np.random.default_rng(0)
+    im = rng.uniform(0, 3000, (8, 64, 256)).astype(np.float32)
+    max_im = np.asarray(gaussian_filter(jnp.asarray(im), 0.75))
+    min_im = np.asarray(gaussian_filter(jnp.asarray(im), 7.5))
+    lvl, diff, counts = level_stencil_pallas(
+        jnp.asarray(max_im), jnp.asarray(min_im), 300.0, 10,
+        interpret=True)
+
+    max_ft = np.asarray(maximum_filter(jnp.asarray(max_im), 3)) == max_im
+    min_ft = np.asarray(minimum_filter(jnp.asarray(min_im), 3)) != min_im
+    local_max = max_ft & min_ft
+    d_ref = max_im - min_im
+    zi = np.arange(8)[:, None, None]
+    xi = np.arange(64)[None, :, None]
+    yi = np.arange(256)[None, None, :]
+    edge_ok = ((zi >= 2) & (zi <= 6) & (xi >= 2) & (xi <= 62)
+               & (yi >= 2) & (yi <= 254))
+    qualify = local_max & edge_ok
+    lvl_ref = np.clip(np.ceil((1 - d_ref / 300.0) * 10).astype(np.int32),
+                      0, 10)
+    lvl_ref = np.where(qualify, lvl_ref, 10)
+
+    np.testing.assert_array_equal(np.asarray(lvl), lvl_ref)
+    np.testing.assert_allclose(np.asarray(diff), d_ref, rtol=1e-6)
+    want_counts = [int((lvl_ref == k).sum()) for k in range(10)]
+    np.testing.assert_array_equal(np.asarray(counts), want_counts)
