@@ -116,7 +116,8 @@ class ExperimentDriver:
                  chromatic_constants: Optional[Dict[str, np.ndarray]] = None,
                  spot_capacity: Optional[int] = None,
                  bead_name: str = "beads",
-                 save_images: bool = False):
+                 save_images: bool = False,
+                 sequential_drift: bool = False):
         self.data_folder = data_folder
         self.save_folder = save_folder
         os.makedirs(save_folder, exist_ok=True)
@@ -135,6 +136,11 @@ class ExperimentDriver:
         #: classes/batch_functions.py:305-368); off by default — spots and
         #: drifts are the scientific output, images are QC payload
         self.save_images = bool(save_images)
+        #: register each round against the *previous* round and accumulate
+        #: (reference Calculate_Bead_Drift sequential mode,
+        #: corrections.py:21-278) instead of against one reference round.
+        #: Robust when drift grows beyond a crop between first and last hyb.
+        self.sequential_drift = bool(sequential_drift)
         self._pipelines: Dict[Tuple, FovPipeline] = {}
         self.timings = StageTimes()
         self._plans = self._build_plans()
@@ -275,6 +281,11 @@ class ExperimentDriver:
             if not todo:
                 return processed
 
+            if self.sequential_drift:
+                self._process_sequential(fov_name, store, pending,
+                                         processed, todo)
+                return processed
+
             ref_im = self._reference_image(fov_name)
 
             def flush(plan, res, ims):
@@ -324,6 +335,49 @@ class ExperimentDriver:
             if in_flight is not None:
                 flush(*in_flight)
         return processed
+
+    def _process_sequential(self, fov_name: str, store: FovStore,
+                            pending, processed, _todo) -> None:
+        """Sequential drift mode: each round registers against the
+        previous round's corrected drift-channel image; stored drifts are
+        the cumulative sums vs round 0 (reference Calculate_Bead_Drift
+        sequential mode, corrections.py:21-278).  The whole chain is
+        reprocessed when any region is pending (cumulative continuity)."""
+        import jax
+
+        cum = np.zeros(3, np.float32)
+        prev_im = None
+        for plan in self._plans:
+            pipe = self._pipeline_for(plan)
+            ims = self._load_round(plan, fov_name)
+            t0 = time.perf_counter()
+            if prev_im is None:
+                prev_im = pipe.correct_reference(ims)
+            res = pipe.process_round(ims, prev_im)
+            step = np.asarray(res.drift)
+            prev_im = pipe.correct_reference(ims)
+            jax.block_until_ready((res, prev_im))
+            self.timings.add("process_round", time.perf_counter() - t0,
+                             folder=self._folder_key(plan.folder))
+            prev_cum = cum.copy()
+            cum = cum + step
+            dflag = int(np.asarray(res.drift_flag))
+            spots = np.asarray(res.spots)
+            raw = np.asarray(res.raw_spots)
+            valid = np.asarray(res.valid)
+            for ci, (dtype, rid) in zip(plan.fit_channel_indices,
+                                        plan.regions):
+                if rid not in pending[dtype]:
+                    continue
+                sel = valid[ci]
+                # res.spots carry chromatic + step-drift correction;
+                # adding the previous cumulative maps into round 0's frame
+                corr = spots[ci][sel].copy()
+                corr[:, 1:4] += prev_cum[None]
+                store.save_spots(dtype, rid, corr, raw[ci][sel], cum,
+                                 flag=FLAG_CORRECTED, drift_flag=dflag)
+                processed[dtype] += 1
+            store.flush()
 
     def process_all(self, overwrite: bool = False) -> Dict[str, Dict[str, int]]:
         """Process every FOV in the experiment; returns per-FOV counts."""

@@ -131,3 +131,34 @@ def test_driver_partial_resume(experiment, tmp_path):
                   if r["stage"] == "process_round"]
     cleared_round = truth["regions"][cleared_rid]["round"]
     assert rounds_run == [f"H{cleared_round}R{cleared_round}"]
+
+
+def test_sequential_drift_mode(experiment, tmp_path):
+    """Sequential mode: drifts stored as cumulative sums vs round 0 and
+    corrected spots land on round-0 truth (reference Calculate_Bead_Drift
+    sequential mode, corrections.py:21-278)."""
+    root, truth = experiment
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        correction=CorrectionConfig(illumination=False, hot_pixel=False),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=4, lm_iters=20),
+        num_buffer_frames=4)
+    drv = ExperimentDriver(str(root), str(tmp_path / "save_seq"), cfg=cfg,
+                           sequential_drift=True)
+    counts = drv.process_fov("Conv_zscan_00.dax")
+    assert counts["unique"] == 6
+    with FovStore(drv.store_path("Conv_zscan_00.dax"), "r") as store:
+        g_ids = list(store._fh["unique"]["ids"][:])
+        for rid, info in truth["regions"].items():
+            i = g_ids.index(rid)
+            drift = store._fh["unique"]["drifts"][i]
+            # cumulative drift vs round 0 = -(scene displacement)
+            np.testing.assert_allclose(
+                drift, -truth["drifts"][info["round"]], atol=0.7)
+            spots, _, flag = store.load_spots("unique", rid)
+            got = spots[:, 1:4]
+            matched = sum(np.linalg.norm(got - c, axis=1).min() < 0.7
+                          for c in info["centers"])
+            assert matched >= len(info["centers"]) * 0.8
