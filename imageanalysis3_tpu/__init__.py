@@ -24,7 +24,11 @@ from .config import (
     ExperimentConfig,
 )
 
-__version__ = "0.1.0"
+# subpackages (imported lazily by most users; listed for discoverability):
+#   io, ops, pipeline, decode, analysis, segmentation, parallel, figures,
+#   library, legacy, spots, synthetic
+
+__version__ = "0.2.0"
 
 __all__ = [
     "DEFAULT_PIXEL_SIZE_NM",

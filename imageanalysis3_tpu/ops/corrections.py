@@ -28,7 +28,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .filters import counting_median, gaussian_highpass
+from .filters import (counting_median, counting_median_layers_and_global,
+                      gaussian_highpass)
 
 
 @partial(jax.jit, static_argnames=("hot_pix_th", "hot_th"))
@@ -64,8 +65,7 @@ def z_shift_correct(im: jnp.ndarray) -> jnp.ndarray:
     Behavior target: corrections.py:479-487 (Z_Shift_Correction).
     """
     imf = im.astype(jnp.float32)
-    layer_med = counting_median(imf, axis=(1, 2))
-    global_med = counting_median(imf)
+    layer_med, global_med = counting_median_layers_and_global(imf)
     return imf / layer_med[:, None, None] * global_med
 
 

@@ -308,3 +308,47 @@ def counting_median(im: jnp.ndarray, bits: int = 18,
 
     lo, hi = jax.lax.fori_loop(0, bits, body, (lo, hi))
     return lo.astype(jnp.float32) / scale
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def counting_median_layers_and_global(im: jnp.ndarray, bits: int = 18):
+    """(per-z-layer medians, global median) in ONE binary search.
+
+    The two searches of :func:`counting_median` each re-read the image 18
+    times; running both in one loop body lets XLA fuse the comparisons
+    into a single traversal per iteration — halving the z-shift
+    correction's HBM traffic.  Exactness identical to counting_median.
+    """
+    imf = im.astype(jnp.float32)
+    z = im.shape[0]
+    n_layer = im.shape[1] * im.shape[2]
+    n_all = imf.size
+    half_layer = (n_layer + 1) // 2
+    half_all = (n_all + 1) // 2
+    scale = 4.0
+    codes = jnp.floor(imf * scale + 0.5).astype(jnp.int32)
+    zero_l = jnp.min(codes, axis=(1, 2)) * 0
+    lo_l = zero_l
+    hi_l = zero_l + ((1 << bits) - 1)
+    zero_g = jnp.min(codes) * 0
+    lo_g = zero_g
+    hi_g = zero_g + ((1 << bits) - 1)
+
+    def body(_, state):
+        lo_l, hi_l, lo_g, hi_g = state
+        mid_l = (lo_l + hi_l) >> 1
+        mid_g = (lo_g + hi_g) >> 1
+        below_l = codes <= mid_l[:, None, None]
+        below_g = codes <= mid_g
+        cnt_l = jnp.sum(below_l.astype(jnp.int32), axis=(1, 2))
+        cnt_g = jnp.sum(below_g.astype(jnp.int32))
+        ok_l = cnt_l >= half_layer
+        ok_g = cnt_g >= half_all
+        return (jnp.where(ok_l, lo_l, mid_l + 1),
+                jnp.where(ok_l, mid_l, hi_l),
+                jnp.where(ok_g, lo_g, mid_g + 1),
+                jnp.where(ok_g, mid_g, hi_g))
+
+    lo_l, _, lo_g, _ = jax.lax.fori_loop(0, bits, body,
+                                         (lo_l, hi_l, lo_g, hi_g))
+    return lo_l.astype(jnp.float32) / scale, lo_g.astype(jnp.float32) / scale
