@@ -45,24 +45,36 @@ def _axis_kernel(n: int, npoints: int, center: jnp.ndarray,
     return jnp.exp(phase)
 
 
-def _upsampled_argmax(R: jnp.ndarray, center: jnp.ndarray, upsample: float,
-                      npoints: int) -> jnp.ndarray:
+def _upsampled_argmax(R: jnp.ndarray, ny_full: int, center: jnp.ndarray,
+                      upsample: float, npoints: int) -> jnp.ndarray:
     """argmax of |IDFT(R)| on a fine grid around `center` (3D).
 
     The evaluation is three complex matmuls (z, x, y contractions) — the
-    TPU-native replacement for skimage's `_upsampled_dft`.
+    TPU-native replacement for skimage's `_upsampled_dft`.  `R` is the
+    rFFT half-spectrum (last axis ny_full//2+1): for real inputs the
+    cross-spectrum is Hermitian, so the real correlation value equals
+    Re(sum over the half spectrum) with weight 2 on the interior y
+    frequencies (1 on DC and, for even ny, Nyquist).
     """
-    nz, nx, ny = R.shape
+    nz, nx, ny_half = R.shape
     Wz = _axis_kernel(nz, npoints, center[0], upsample)
     Wx = _axis_kernel(nx, npoints, center[1], upsample)
-    Wy = _axis_kernel(ny, npoints, center[2], upsample)
+    m = npoints // 2
+    freqs_y = jnp.arange(ny_half, dtype=jnp.float32)
+    offs = (jnp.arange(npoints) - m) / upsample
+    s = center[2] + offs
+    Wy = jnp.exp(2j * jnp.pi * s[:, None] * freqs_y[None, :] / ny_full)
+    w = jnp.full(ny_half, 2.0)
+    w = w.at[0].set(1.0)
+    if ny_full % 2 == 0:
+        w = w.at[-1].set(1.0)
+    Wy = Wy * w[None, :]
     t = jnp.einsum("az,zxy->axy", Wz, R, precision=_HIGH)
     t = jnp.einsum("bx,axy->aby", Wx, t, precision=_HIGH)
     t = jnp.einsum("cy,aby->abc", Wy, t, precision=_HIGH)
-    mag = jnp.abs(t)
+    mag = jnp.abs(jnp.real(t))
     flat = jnp.argmax(mag)
     idx = jnp.stack(jnp.unravel_index(flat, mag.shape)).astype(jnp.float32)
-    m = npoints // 2
     return center + (idx - m) / upsample
 
 
@@ -94,12 +106,14 @@ def subpixel_phase_correlation(ref: jnp.ndarray, mov: jnp.ndarray,
     """
     ref = ref.astype(jnp.float32)
     mov = mov.astype(jnp.float32)
-    F_ref = jnp.fft.fftn(ref)
-    F_mov = jnp.fft.fftn(mov)
+    # real inputs: rFFTs + a real inverse halve the FFT cost, and the
+    # Hermitian half-spectrum feeds the refinement directly
+    F_ref = jnp.fft.rfftn(ref)
+    F_mov = jnp.fft.rfftn(mov)
     R = F_ref * jnp.conj(F_mov)
     if normalization == "phase":
         R = R / jnp.maximum(jnp.abs(R), 1e-20)
-    cc = jnp.abs(jnp.fft.ifftn(R))
+    cc = jnp.abs(jnp.fft.irfftn(R, s=ref.shape))
     flat = jnp.argmax(cc)
     peak = jnp.stack(jnp.unravel_index(flat, cc.shape)).astype(jnp.float32)
     size = jnp.asarray(cc.shape, jnp.float32)
@@ -122,7 +136,7 @@ def subpixel_phase_correlation(ref: jnp.ndarray, mov: jnp.ndarray,
         total *= u
         # grid must cover +-(1/previous_resolution)/2 with margin
         npoints = int(2 * np.ceil(0.75 * u)) + 1
-        est = _upsampled_argmax(R, est, total, npoints)
+        est = _upsampled_argmax(R, ref.shape[-1], est, total, npoints)
         if total >= upsample_factor:
             break
     return est
