@@ -117,7 +117,7 @@ def get_seeds(im: jnp.ndarray,
               remove_hot_pixel: bool = True,
               hot_pixel_th: int = 3,
               cand_capacity: int = 16384,
-              slab_x: int = 256) -> Seeds:
+              slab_x: int = 1024) -> Seeds:
     """Seed local maxima of `im` (Z, X, Y) -> fixed-capacity table.
 
     Images whose x extent exceeds ``2 * slab_x`` are processed in
