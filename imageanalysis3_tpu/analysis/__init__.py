@@ -4,7 +4,7 @@ from .distmap import spots_to_zxy_nm, distance_map, median_distance_map
 from .domains import (sliding_window_dist, find_peaks_1d,
                       candidate_domain_boundaries, domain_pdists,
                       merge_domains, basic_domain_calling,
-                      insulation_domain_calling)
+                      insulation_domain_calling, arrowhead_transform)
 from .compartments import (normalize_center_spots, ab_axis_projection,
                            spots_to_density, compartment_scores,
                            ab_compartment_eigenscore)
@@ -21,7 +21,7 @@ __all__ = [
     "spots_to_zxy_nm", "distance_map", "median_distance_map",
     "sliding_window_dist", "find_peaks_1d", "candidate_domain_boundaries",
     "domain_pdists", "merge_domains", "basic_domain_calling",
-    "insulation_domain_calling",
+    "insulation_domain_calling", "arrowhead_transform",
     "normalize_center_spots", "ab_axis_projection", "spots_to_density",
     "compartment_scores", "ab_compartment_eigenscore",
     "spots_to_labels", "spots_to_intensity", "count_genes",

@@ -275,6 +275,31 @@ def basic_domain_calling(zxys: np.ndarray, min_domain_size: int = 5,
     return merge_domains(zxys, starts, dist_th=dist_th)
 
 
+def arrowhead_transform(distmap: np.ndarray) -> np.ndarray:
+    """Arrowhead transform A[i, j] = (d(i, i-k) - d(i, i+k)) /
+    (d(i, i-k) + d(i, i+k)) with k = j - i, mapping domain blocks to
+    arrow-shaped sign patterns (reference External/DomainTools.py:265-330,
+    the Rao et al. transform adapted to distance maps: inside-domain
+    entries come out positive since d(i, i+k) < d(i, i-k) across a
+    boundary-free span).
+    """
+    dm = np.asarray(distmap, float)
+    r = len(dm)
+    a = np.full((r, r), np.nan)
+    for i in range(r):
+        for j in range(i, r):
+            k = j - i
+            if i - k < 0:
+                continue
+            left = dm[i, i - k]
+            right = dm[i, j]
+            denom = left + right
+            if np.isfinite(denom) and denom > 0:
+                a[i, j] = (left - right) / denom
+                a[j, i] = a[i, j]
+    return a
+
+
 def insulation_domain_calling(distmap: np.ndarray,
                               min_domain_size: int = 5,
                               window_size: Optional[int] = None,

@@ -207,3 +207,21 @@ def test_normalize_center_spots():
     assert np.isnan(out[3]).all()
     np.testing.assert_allclose(np.nanmean(out[valid], axis=0), 0.0,
                                atol=1e-4)
+
+
+def test_arrowhead_transform():
+    """Inside a single tight domain next to a distant one, arrowhead
+    entries spanning the boundary flip sign (reference
+    External/DomainTools.py:265-330)."""
+    rng = np.random.default_rng(8)
+    zxys = _block_polymer(rng, [10, 10], step=50.0, jump=3000.0)
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    a = DM.arrowhead_transform(dm)
+    assert a.shape == dm.shape
+    # i in domain 0, j also in domain 0, mirror i-k in domain 0: |A| small
+    inside = a[6, 8]
+    # i near the boundary, j across it (far), mirror still inside: A < 0
+    crossing = a[8, 12]
+    assert np.isfinite(inside) and np.isfinite(crossing)
+    assert crossing < -0.5
+    assert abs(inside) < 0.5
