@@ -7,6 +7,9 @@ from .scoring import (ChromRefStats, chromosome_ref_stats, score_candidates,
                       local_centers, neighboring_dists)
 from .merfish import (Codebook, build_codebook, MerfishDecoder,
                       find_neighbors, SpotGroups)
+from .dna_decoder import DNAMerfishDecoder, batch_decode
+from .homolog import (init_homolog_centers, assign_groups_to_homologs,
+                      decode_chromosome_homologs, HomologResult)
 
 __all__ = [
     "naive_pick_spots", "dynamic_pick_spots", "em_pick_spots",
@@ -16,4 +19,7 @@ __all__ = [
     "local_centers", "neighboring_dists",
     "Codebook", "build_codebook", "MerfishDecoder", "find_neighbors",
     "SpotGroups",
+    "DNAMerfishDecoder", "batch_decode", "init_homolog_centers",
+    "assign_groups_to_homologs", "decode_chromosome_homologs",
+    "HomologResult",
 ]
