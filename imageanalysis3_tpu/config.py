@@ -104,7 +104,9 @@ class SeedConfig:
     dynamic_niters: int = 10
     min_dynamic_seeds: int = 1
     max_num_seeds: int = 1024        # fixed capacity of the device seed table
-    cand_capacity: int = 16384       # raw above-threshold candidate capacity
+    # unused since the hierarchical top-k seed extraction; kept so saved
+    # configs keep loading (see ops/seeding.get_seeds)
+    cand_capacity: int = 16384
 
 
 @dataclass(frozen=True)

