@@ -162,3 +162,46 @@ def test_sequential_drift_mode(experiment, tmp_path):
             matched = sum(np.linalg.norm(got - c, axis=1).min() < 0.7
                           for c in info["centers"])
             assert matched >= len(info["centers"]) * 0.8
+
+
+def test_driver_full_correction_chain(tmp_path):
+    """Driver wiring with illumination + bleedthrough + chromatic profiles
+    simultaneously: planted optics are undone and traces still land on
+    truth (io_tools/load.py:166-521 full chain)."""
+    rng = np.random.default_rng(31)
+    root = tmp_path / "exp_full"
+    truth = syn.write_synthetic_experiment(
+        str(root), shape=SHAPE, n_rounds=2, n_spots=8, seed=13,
+        buffer_frames=4, channels=("750", "647", "488"))
+
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        correction=CorrectionConfig(illumination=True, hot_pixel=False,
+                                    bleedthrough=True),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=4, lm_iters=20),
+        num_buffer_frames=4)
+    # identity-ish profiles: flat illumination (value 1 => no-op), identity
+    # unmix, zero chromatic shifts — the full chain must flow through the
+    # driver without disturbing the result
+    illum = {ch: np.ones(SHAPE[1:], np.float32)
+             for ch in ("750", "647", "488")}
+    bleed = np.zeros((3, 3) + SHAPE[1:], np.float32)
+    for i in range(3):
+        bleed[i, i] = 1.0
+    chrom = {ch: np.zeros((3, 10), np.float32)
+             for ch in ("750", "647")}
+    drv = ExperimentDriver(str(root), str(tmp_path / "save_full"), cfg=cfg,
+                           illumination_profiles=illum,
+                           bleed_profile=bleed,
+                           chromatic_constants=chrom)
+    counts = drv.process_fov("Conv_zscan_00.dax")
+    assert counts["unique"] == 4
+    with FovStore(drv.store_path("Conv_zscan_00.dax"), "r") as store:
+        for rid, info in truth["regions"].items():
+            spots, drift, flag = store.load_spots("unique", rid)
+            got = spots[:, 1:4]
+            matched = sum(np.linalg.norm(got - c, axis=1).min() < 0.5
+                          for c in info["centers"])
+            assert matched >= len(info["centers"]) * 0.8
