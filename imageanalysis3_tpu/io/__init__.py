@@ -1,11 +1,27 @@
 """Host-side I/O: dax movies, experiment metadata, spot/result stores."""
 
 from .dax import (DaxMetadata, read_inf, read_dax, write_dax,
-                  split_channels, get_num_frames_and_colors)
-from .color_usage import ColorUsage, load_color_usage, find_hyb_folders
+                  split_channels, interleave_channels,
+                  get_num_frames_and_colors)
+from .color_usage import (ColorUsage, load_color_usage, find_hyb_folders,
+                          load_encoding_scheme, load_region_positions)
+from .store import FovStore, FLAG_EMPTY, FLAG_RAW, FLAG_CORRECTED
+from .crop import ImageCrop3D, generate_neighboring_crop
+from .profiles_io import load_correction_profile, save_correction_profile
+from .spots import (spots_to_dataframe, dataframe_to_cand_spots,
+                    spot_groups_to_dataframe, dataframe_to_spot_groups,
+                    save_dataframe_hdf5, load_dataframe_hdf5,
+                    SPOT3D_COLUMNS)
 
 __all__ = [
     "DaxMetadata", "read_inf", "read_dax", "write_dax", "split_channels",
-    "get_num_frames_and_colors",
+    "interleave_channels", "get_num_frames_and_colors",
     "ColorUsage", "load_color_usage", "find_hyb_folders",
+    "load_encoding_scheme", "load_region_positions",
+    "FovStore", "FLAG_EMPTY", "FLAG_RAW", "FLAG_CORRECTED",
+    "ImageCrop3D", "generate_neighboring_crop",
+    "load_correction_profile", "save_correction_profile",
+    "spots_to_dataframe", "dataframe_to_cand_spots",
+    "spot_groups_to_dataframe", "dataframe_to_spot_groups",
+    "save_dataframe_hdf5", "load_dataframe_hdf5", "SPOT3D_COLUMNS",
 ]

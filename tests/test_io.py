@@ -120,3 +120,48 @@ def test_store_images_and_signal(tmp_path):
                                       [[1.0, 2, 3]])
         assert store.load_signal("missing") is None
         assert store.data_types() == ["unique"]
+
+
+def test_correction_profile_naming_roundtrip(tmp_path):
+    """Profile files follow the reference naming conventions exactly
+    (io_tools/load.py:553-640), so correction folders interchange."""
+    import numpy as np
+    from imageanalysis3_tpu.io.profiles_io import (load_correction_profile,
+                                                   save_correction_profile)
+
+    rng = np.random.default_rng(0)
+    folder = str(tmp_path / "Corrections")
+    im_size = (8, 32, 32)
+    chs = ("750", "647", "561")
+
+    illum = {c: rng.uniform(0.5, 1.0, im_size[1:]).astype(np.float32)
+             for c in chs}
+    save_correction_profile("illumination", illum, folder, chs,
+                            im_size=im_size)
+    import os
+    assert os.path.exists(os.path.join(
+        folder, "illumination_correction_750_32x32.npy"))
+    back = load_correction_profile("illumination", folder, chs,
+                                   im_size=im_size)
+    np.testing.assert_allclose(back["647"], illum["647"])
+
+    bleed = rng.normal(size=(3, 3) + im_size[1:]).astype(np.float32)
+    save_correction_profile("bleedthrough", bleed, folder, chs,
+                            im_size=im_size)
+    assert os.path.exists(os.path.join(
+        folder, "bleedthrough_correction_750_647_561_32_32.npy"))
+    back_b = load_correction_profile("bleedthrough", folder, chs,
+                                     im_size=im_size)
+    np.testing.assert_allclose(back_b, bleed)
+
+    consts = {c: rng.normal(size=(3, 10)).astype(np.float32)
+              for c in ("750", "561")}
+    consts["647"] = None
+    save_correction_profile("chromatic_constants", consts, folder, chs,
+                            im_size=im_size)
+    assert os.path.exists(os.path.join(
+        folder, "chromatic_correction_750_647_8_32_32_const.pkl"))
+    back_c = load_correction_profile("chromatic_constants", folder, chs,
+                                     im_size=im_size)
+    np.testing.assert_allclose(back_c["750"], consts["750"])
+    assert back_c["647"] is None
