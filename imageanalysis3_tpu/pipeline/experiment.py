@@ -117,7 +117,8 @@ class ExperimentDriver:
                  spot_capacity: Optional[int] = None,
                  bead_name: str = "beads",
                  save_images: bool = False,
-                 sequential_drift: bool = False):
+                 sequential_drift: bool = False,
+                 correction_folder: Optional[str] = None):
         self.data_folder = data_folder
         self.save_folder = save_folder
         os.makedirs(save_folder, exist_ok=True)
@@ -131,6 +132,8 @@ class ExperimentDriver:
         self.illumination_profiles = illumination_profiles or {}
         self.bleed_profile = bleed_profile
         self.chromatic_constants = chromatic_constants or {}
+        if correction_folder:
+            self._load_correction_folder(correction_folder)
         self.spot_capacity = spot_capacity or self.cfg.seed.max_num_seeds
         #: also persist corrected image stacks (reference `ims` datasets,
         #: classes/batch_functions.py:305-368); off by default — spots and
@@ -144,6 +147,38 @@ class ExperimentDriver:
         self._pipelines: Dict[Tuple, FovPipeline] = {}
         self.timings = StageTimes()
         self._plans = self._build_plans()
+
+    def _load_correction_folder(self, folder: str) -> None:
+        """Populate profiles from a reference-convention correction folder
+        (reference Field_of_View._load_correction_profiles,
+        classes/field_of_view.py:415; file naming io_tools/load.py:553-640).
+        Missing files are skipped — explicit kwargs take precedence.
+        """
+        from ..io.profiles_io import load_correction_profile
+
+        chs = list(self.cfg.corr_channels)
+        size = tuple(self.cfg.image_size)
+        ref_ch = self.cfg.chromatic_ref_channel
+        if not self.illumination_profiles:
+            try:
+                self.illumination_profiles = load_correction_profile(
+                    "illumination", folder, chs, ref_ch, size)
+            except FileNotFoundError:
+                pass
+        if self.bleed_profile is None:
+            try:
+                self.bleed_profile = load_correction_profile(
+                    "bleedthrough", folder, chs, ref_ch, size)
+            except FileNotFoundError:
+                pass
+        if not self.chromatic_constants:
+            try:
+                consts = load_correction_profile(
+                    "chromatic_constants", folder, chs, ref_ch, size)
+                self.chromatic_constants = {
+                    ch: v for ch, v in consts.items() if v is not None}
+            except FileNotFoundError:
+                pass
 
     # -- planning ---------------------------------------------------------
 
@@ -212,11 +247,25 @@ class ExperimentDriver:
                     chrom[i] = self.chromatic_constants[ch]
         th = np.array([CHANNEL_SEED_THRESHOLDS.get(ch, self.cfg.seed.th_seed)
                        for ch in plan.channels], np.float32)
+        # subset/expand the (corr x corr) bleed profile to this round's
+        # channel layout, identity for non-correction channels (reference
+        # per-round profile subsetting, classes/field_of_view.py:1079-1092)
+        bleed = None
+        if self.bleed_profile is not None:
+            corr = [str(c) for c in self.cfg.corr_channels]
+            src = np.asarray(self.bleed_profile, np.float32)
+            bleed = np.zeros((n_ch, n_ch) + shape[1:], np.float32)
+            for i, chi in enumerate(plan.channels):
+                for j, chj in enumerate(plan.channels):
+                    if chi in corr and chj in corr:
+                        bleed[i, j] = src[corr.index(chi), corr.index(chj)]
+                    elif i == j:
+                        bleed[i, i] = 1.0
         pipe = FovPipeline(
             self.cfg, n_channels=n_ch,
             drift_channel_index=plan.drift_channel_index,
             fit_channel_indices=tuple(plan.fit_channel_indices),
-            illumination=illum, bleed=self.bleed_profile,
+            illumination=illum, bleed=bleed,
             chromatic_constants=chrom, image_shape=shape,
             seed_thresholds=th)
         self._pipelines[key] = pipe

@@ -205,3 +205,42 @@ def test_driver_full_correction_chain(tmp_path):
             matched = sum(np.linalg.norm(got - c, axis=1).min() < 0.5
                           for c in info["centers"])
             assert matched >= len(info["centers"]) * 0.8
+
+
+def test_driver_loads_correction_folder(tmp_path):
+    """A reference-convention correction folder auto-populates driver
+    profiles and the bleed profile is subset to each round's channels
+    (reference _load_correction_profiles + per-round subsetting)."""
+    from imageanalysis3_tpu.io.profiles_io import save_correction_profile
+
+    rng = np.random.default_rng(41)
+    root = tmp_path / "exp_cf"
+    syn.write_synthetic_experiment(str(root), shape=SHAPE, n_rounds=2,
+                                   n_spots=6, seed=17, buffer_frames=4,
+                                   channels=("750", "647", "488"))
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        corr_channels=("750", "647"),
+        correction=CorrectionConfig(illumination=True, hot_pixel=False,
+                                    bleedthrough=True),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=3, lm_iters=15),
+        num_buffer_frames=4)
+    folder = str(tmp_path / "Corrections")
+    illum = {c: np.full(SHAPE[1:], 1.0, np.float32)
+             for c in ("750", "647")}
+    save_correction_profile("illumination", illum, folder,
+                            ("750", "647"), im_size=SHAPE)
+    bleed = np.zeros((2, 2) + SHAPE[1:], np.float32)
+    bleed[0, 0] = 1.0
+    bleed[1, 1] = 1.0
+    save_correction_profile("bleedthrough", bleed, folder,
+                            ("750", "647"), im_size=SHAPE)
+
+    drv = ExperimentDriver(str(root), str(tmp_path / "save_cf"), cfg=cfg,
+                           correction_folder=folder)
+    assert set(drv.illumination_profiles) == {"750", "647"}
+    assert drv.bleed_profile is not None
+    counts = drv.process_fov("Conv_zscan_00.dax")
+    assert counts["unique"] == 4
