@@ -16,6 +16,9 @@ from .structure import (contact_map, domain_contact_freq,
 from .population import (load_bed, region_overlap_fraction,
                          assign_compartments_from_domains,
                          CellTypeClassifier)
+from .cell_locations import (segmentation_to_cell_locations,
+                             translate_cell_locations,
+                             merge_cell_locations)
 
 __all__ = [
     "spots_to_zxy_nm", "distance_map", "median_distance_map",
@@ -30,4 +33,6 @@ __all__ = [
     "loop_out_scores", "call_loop_outs", "genome_distance_summary",
     "load_bed", "region_overlap_fraction",
     "assign_compartments_from_domains", "CellTypeClassifier",
+    "segmentation_to_cell_locations", "translate_cell_locations",
+    "merge_cell_locations",
 ]

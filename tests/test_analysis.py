@@ -225,3 +225,33 @@ def test_arrowhead_transform():
     assert np.isfinite(inside) and np.isfinite(crossing)
     assert crossing < -0.5
     assert abs(inside) < 0.5
+
+
+def test_cell_locations_pipeline():
+    """Mask -> locations -> stage frame -> multi-FOV merge (reference
+    meta_tools/cell_locations.py:13-245)."""
+    import pandas as pd
+    from imageanalysis3_tpu.analysis.cell_locations import (
+        segmentation_to_cell_locations, translate_cell_locations,
+        merge_cell_locations)
+
+    labels = _label_volume()
+    df = segmentation_to_cell_locations(labels, fov_id=3)
+    assert set(df["cell_id"]) == {1, 2, 3}
+    c1 = df[df["cell_id"] == 1].iloc[0]
+    # cell 1 spans x,y in [5,25): center ~14.5 px -> relative to 32 center
+    assert abs(c1["center_x"] - (14.5 - 32) * 0.108) < 0.01
+    assert c1["volume"] == 12 * 20 * 20
+    assert abs(c1["min_x"] - (5 - 32) * 0.108) < 0.01
+
+    t = translate_cell_locations(df, [0.0, 100.0, 200.0])
+    assert abs(t[t["cell_id"] == 1].iloc[0]["center_x"]
+               - (100 + (14.5 - 32) * 0.108)) < 0.01
+
+    # second FOV overlaps: its cell 1 center duplicates FOV A's
+    t2 = translate_cell_locations(df, [0.0, 100.0, 200.0])
+    merged = merge_cell_locations([t, t2], duplicate_distance_um=5.0)
+    assert len(merged) == 3          # all duplicates dropped
+    t3 = translate_cell_locations(df, [0.0, 300.0, 200.0])
+    merged2 = merge_cell_locations([t, t3])
+    assert len(merged2) == 6
