@@ -207,6 +207,13 @@ class FovPipeline:
             return RoundResult(spots=corrected_spots, raw_spots=raw,
                                valid=valid, drift=drift, drift_flag=flag)
 
+        # the donated raw stack has no matching output to alias, so jax
+        # warns on every call; the donation still lets XLA recycle the
+        # buffer for intermediates, which is the point — silence the noise
+        import warnings
+        warnings.filterwarnings(
+            "ignore", message="Some donated buffers were not usable")
+
         # per-stage jitted programs for the structured timing breakdown
         # (SURVEY §5: replace the reference's `verbose` prints with a
         # per-stage timing record)
