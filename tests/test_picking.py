@@ -186,3 +186,61 @@ def test_build_candidate_table():
     full = np.sort(spots[5][:, 0])[::-1][:4]
     np.testing.assert_allclose(np.sort(cand[1, :, 0])[::-1],
                                np.sort(full)[::-1], rtol=1e-6)
+
+
+def test_score_candidates_matches_reference_transliteration():
+    """E-step scores equal a NumPy transliteration of the reference's
+    linear-metric spot_score_in_chromosome (spot_tools/scoring.py:306-410
+    with distance_score :23-30 and intensity_score :63-66)."""
+    rng = np.random.default_rng(9)
+    r, m = 12, 3
+    sel = np.zeros((r, 11), np.float32)
+    sel[:, 1:4] = rng.uniform(10, 50, (r, 3))
+    sel[:, 0] = rng.uniform(500, 1500, r)
+    sel_valid = np.ones(r, bool)
+    cand = np.zeros((r, m, 11), np.float32)
+    cand[..., 1:4] = rng.uniform(10, 50, (r, m, 3))
+    cand[..., 0] = rng.uniform(100, 2000, (r, m))
+    valid = np.ones((r, m), bool)
+    w_ct, w_lc, w_int = 2.0, 1.0, 1.0
+    limit = 3000.0
+    local_size = 5
+
+    got = np.asarray(S.score_candidates(
+        jnp.asarray(cand), jnp.asarray(valid), jnp.asarray(sel),
+        jnp.asarray(sel_valid), None, None, (200.0, 108.0, 108.0),
+        local_size, w_ct, w_lc, w_int, limit))
+
+    # --- NumPy transliteration of the reference linear metric
+    px = np.array([200.0, 108.0, 108.0])
+    sel_z = sel[:, 1:4] * px
+    center = sel_z.mean(0)
+
+    # reference stats (generate_ref_from_chromosome, median metric)
+    ct_ref = np.median(np.linalg.norm(sel_z - center, axis=1))
+    half = (local_size - 1) // 2
+    lc_list, lc_centers = [], {}
+    for i in range(r):
+        idx = [j for j in range(i - half, i + half + 1)
+               if 0 <= j < r and j != i]
+        lc_centers[i] = sel_z[idx].mean(0)
+        lc_list.append(np.linalg.norm(sel_z[i] - lc_centers[i]))
+    lc_ref = np.median(lc_list)
+    int_ref = np.median(sel[:, 0])
+
+    def dscore(d, ref, w):
+        s = -w * d / ref
+        s = s - w * np.maximum(d - limit, 0) / ref
+        return s
+
+    want = np.zeros((r, m))
+    for i in range(r):
+        for k in range(m):
+            z = cand[i, k, 1:4] * px
+            ct = np.linalg.norm(z - center)
+            lc = np.linalg.norm(z - lc_centers[i])
+            ints = cand[i, k, 0]
+            want[i, k] = (dscore(ct, ct_ref, w_ct)
+                          + dscore(lc, lc_ref, w_lc)
+                          + w_int * np.log(ints / (ints + int_ref)))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
