@@ -15,7 +15,7 @@ from .matching import (find_paired_centers, check_paired_centers,
                        align_beads, accumulate_sequential_drifts,
                        rigid_transform_from_points, align_manual_points,
                        translate_spot_coordinates, select_matched_spots,
-                       generate_recombined_spots)
+                       generate_recombined_spots, fit_matched_centers)
 from .profiles import (IlluminationProfiler, generate_bleed_profile,
                        generate_chromatic_constants, counting_quantile,
                        fit_spot_pair_regressions, invert_mixing_profile)
@@ -36,6 +36,7 @@ __all__ = [
     "accumulate_sequential_drifts", "rigid_transform_from_points",
     "align_manual_points", "translate_spot_coordinates",
     "select_matched_spots", "generate_recombined_spots",
+    "fit_matched_centers",
     "IlluminationProfiler", "generate_bleed_profile",
     "generate_chromatic_constants", "counting_quantile",
     "fit_spot_pair_regressions", "invert_mixing_profile",

@@ -208,6 +208,31 @@ def select_matched_spots(cand_spots, ref_zxy, dist_th_nm: float,
     return sub[np.argmax(sub[:, 0])], True
 
 
+def fit_matched_centers(im, ref_centers, match_distance_th: float = 3.0,
+                        th_seed: float = 300.0, max_num_seeds: int = 256,
+                        **fit_kwargs) -> PairedCenters:
+    """Fit spot centers in `im` and uniquely pair them to `ref_centers`
+    (reference fit_matched_centers, spot_tools/matching.py:89-147) —
+    the cross-experiment anchor-matching step of RNA->DNA conversion."""
+    import numpy as np
+
+    from .gaussian_fit import get_centers
+
+    centers, valid = get_centers(jnp.asarray(im), th_seed=th_seed,
+                                 max_num_seeds=max_num_seeds, **fit_kwargs)
+    ref = np.atleast_2d(np.asarray(ref_centers, np.float32))
+    n = max(len(ref), centers.shape[0])
+    ref_p = np.zeros((n, 3), np.float32)
+    ref_p[:len(ref)] = ref
+    ref_v = np.zeros(n, bool)
+    ref_v[:len(ref)] = True
+    cen_p = jnp.zeros((n, 3), jnp.float32).at[:centers.shape[0]].set(centers)
+    cen_v = jnp.zeros(n, bool).at[:valid.shape[0]].set(valid)
+    return find_paired_centers(cen_p, cen_v, jnp.asarray(ref_p),
+                               jnp.asarray(ref_v),
+                               cutoff=match_distance_th)
+
+
 def generate_recombined_spots(repeat_cand_spots, repeat_ids,
                               original_cand_spots, original_ids):
     """Replace relabeled regions' candidates with the repeat-hyb fits

@@ -89,3 +89,22 @@ def test_accumulate_sequential_drifts():
     out = np.asarray(MT.accumulate_sequential_drifts(steps))
     np.testing.assert_allclose(out, [[0, 0, 0], [1, 0, 0], [1, 2, 0],
                                      [2, 3, 1]])
+
+
+def test_fit_matched_centers():
+    """Fit + unique pairing against reference anchors (reference
+    fit_matched_centers, spot_tools/matching.py:89-147)."""
+    rng = np.random.default_rng(8)
+    shape = (10, 64, 64)
+    centers = rng.uniform(10, 54, size=(8, 3)).astype(np.float32)
+    centers[:, 0] = rng.uniform(3, 7, 8)
+    im = syn.render_gaussian_spots(shape, centers, np.full(8, 3000.0),
+                                   np.tile([1.2, 1.6, 1.6], (8, 1)),
+                                   background=100.0).astype(np.float32)
+    # anchors = true centers slightly offset
+    anchors = centers + rng.normal(0, 0.2, centers.shape)
+    pairs = MT.fit_matched_centers(im, anchors, match_distance_th=2.0,
+                                   th_seed=500.0, max_num_seeds=32)
+    assert int(pairs.n_pairs) >= 7
+    # recovered shift ~ -mean offset (anchor = ref)
+    assert np.linalg.norm(np.asarray(pairs.drift)) < 0.5
