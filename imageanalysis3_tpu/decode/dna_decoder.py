@@ -113,8 +113,8 @@ def batch_decode(cells: Dict, codebook_df: pd.DataFrame,
         if k in ("pixel_sizes", "pair_search_radius", "num_homologs",
                  "keep_ratio_th")})
     assign_kwargs = {k: v for k, v in kwargs.items()
-                     if k in ("max_iters", "flag_diff_th", "w_int",
-                              "w_ct", "w_inner")}
+                     if k in ("max_iters", "flag_diff_th", "weights",
+                              "score_th_percentile", "n_neighbors")}
     out = {}
     for cid, payload in cells.items():
         out[cid] = dec.decode(payload["spots"], payload["bits"],
