@@ -302,10 +302,23 @@ def complete_tuples(groups: SpotGroups, nb_idx: jnp.ndarray,
         d = jnp.linalg.norm(positions[cand] - centroid[:, None], axis=-1)
         d = jnp.where(good, d, jnp.inf)
         best = jnp.argmin(d, axis=1)
-        best_ok = jnp.isfinite(jnp.min(d, axis=1))
+        best_d = jnp.min(d, axis=1)
+        best_ok = jnp.isfinite(best_d)
         new_spot = cand[jnp.arange(p), best]
         slot = jnp.sum(mem_ok, axis=1)               # first free slot
         can_add = best_ok & (slot < max_tuple_size)
+        # intra-round contention: several groups may claim the same
+        # candidate spot; allow one add per spot per round (nearest
+        # claim wins, group index breaks ties) so usage never exceeds
+        # max_usage — the reference's sequential bookkeeping admits the
+        # same winner first (decode.py:462-517)
+        tgt = jnp.where(can_add, new_spot, 0)
+        seg_d = jnp.full((n,), jnp.inf).at[tgt].min(
+            jnp.where(can_add, best_d, jnp.inf))
+        is_best = can_add & (best_d <= seg_d[new_spot])
+        seg_g = jnp.full((n,), p, jnp.int32).at[tgt].min(
+            jnp.where(is_best, jnp.arange(p), p))
+        can_add = is_best & (seg_g[new_spot] == jnp.arange(p))
         spot_idx = jax.vmap(
             lambda row, s, v, ok_: jnp.where(
                 ok_, row.at[s].set(v), row))(

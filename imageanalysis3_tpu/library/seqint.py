@@ -32,18 +32,38 @@ _lib = None
 _lib_tried = False
 
 
+def _cache_path() -> str:
+    """User-owned 0700 cache directory (never a world-writable tmpdir:
+    a pre-planted .so there would be CDLL'd with this process's
+    privileges)."""
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(base, "ia3tpu")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return os.path.join(d, "seqint.so")
+
+
 def _build_lib() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    cache = os.path.join(tempfile.gettempdir(), "ia3tpu_seqint.so")
     try:
+        cache = _cache_path()
         if (not os.path.exists(cache)
                 or os.path.getmtime(cache) < os.path.getmtime(_SRC)):
+            # compile to a private temp file, then atomically publish
+            fd, tmp = tempfile.mkstemp(suffix=".so",
+                                       dir=os.path.dirname(cache))
+            os.close(fd)
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", cache, _SRC],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
                 check=True, capture_output=True)
+            os.replace(tmp, cache)
+        st = os.stat(cache)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            raise PermissionError("seqint cache not exclusively "
+                                  "user-owned; refusing to load")
         lib = ctypes.CDLL(cache)
         lib.seq2int.restype = ctypes.c_uint64
         lib.seq2int.argtypes = [ctypes.c_char_p, ctypes.c_int64]

@@ -141,7 +141,9 @@ def _conv1d_along_axis(im: jnp.ndarray, kernel: jnp.ndarray, axis: int,
     block = 128
     while block < radius + 1:
         block *= 2
-    if n % block == 0 and n // block >= 4:
+    # "wrap" corner entries reach across the whole axis — only the dense
+    # band matrix represents them, so keep wrap off the blocked path
+    if n % block == 0 and n // block >= 4 and mode != "wrap":
         nb = n // block
         wb = jnp.asarray(_block_band(n, block, key, mode))
         # reshape the target axis into (nb, B) and gather j-1/j/j+1 blocks

@@ -151,10 +151,14 @@ def rigid_transform_from_points(before, after):
     c_before = before.mean(axis=0)
     c_after = after.mean(axis=0)
     h = (before - c_before).T @ (after - c_after)
-    u, _, v = np.linalg.svd(h)
-    r = (v @ u.T).T
-    if np.linalg.det(r) < 0:
-        r[:, -1] = -r[:, -1]
+    # Kabsch / orthogonal Procrustes: argmin ||X R - Y|| = U Vt for
+    # X.T Y = U S Vt, reflections removed by flipping the last column of
+    # U before the product (valid in any dimension, unlike the
+    # reference's 2D-only (Vt U.T).T form)
+    u, _, vt = np.linalg.svd(h)
+    if np.linalg.det(u @ vt) < 0:
+        u[:, -1] = -u[:, -1]
+    r = u @ vt
     t = -c_before @ r + c_after
     return r, t
 

@@ -213,6 +213,16 @@ class ExperimentDriver:
                 drift_channel_index=channels.index(bead_ch)))
         return plans
 
+    def _bead_only_plan(self) -> RoundPlan:
+        """Drift-only plan for a ref_folder that carries no fit channels
+        (the reference supports beads-only reference rounds,
+        classes/field_of_view.py:734-801)."""
+        cu = self.color_usage
+        bead_ch = cu.channels[cu.bead_channel_index(self.bead_name)]
+        return RoundPlan(folder=self.ref_folder, channels=[bead_ch],
+                         fit_channel_indices=[], regions=[],
+                         drift_channel_index=0)
+
     def region_table(self) -> Dict[str, List[Tuple[int, str]]]:
         """data_type -> (region id, channel) pairs sorted by id
         (reference _color_dic_stat's sorted ids/channels)."""
@@ -293,9 +303,13 @@ class ExperimentDriver:
         return out
 
     def _reference_image(self, fov_name: str):
-        """Corrected drift-channel stack of the reference round."""
+        """Corrected drift-channel stack of the reference round.
+
+        A ref_folder with no fit channels (e.g. a beads-only reference
+        round) still serves as the drift reference via a bead-only plan —
+        never silently substituted by another round."""
         ref_plans = [p for p in self._plans if p.folder == self.ref_folder]
-        plan = ref_plans[0] if ref_plans else self._plans[0]
+        plan = ref_plans[0] if ref_plans else self._bead_only_plan()
         pipe = self._pipeline_for(plan)
         ims = self._load_round(plan, fov_name)
         t0 = time.perf_counter()

@@ -17,6 +17,16 @@ def test_gaussian_filter_matches_scipy(rng, sigma, mode):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-2)
 
 
+def test_gaussian_filter_wrap_mode_boundary_exact(rng):
+    """mode='wrap' entries reach across the axis; the blocked-matmul path
+    must not drop them (regression: 512-long axis takes the block path
+    for other modes)."""
+    im = rng.uniform(0, 1000, size=(2, 512, 16)).astype(np.float32)
+    ours = np.asarray(F.gaussian_filter(im, 5.0, truncate=4.0, mode="wrap"))
+    ref = ndi.gaussian_filter(im, 5.0, truncate=4.0, mode="wrap")
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-2)
+
+
 def test_gaussian_filter_truncate2(rng):
     im = rng.uniform(0, 65535, size=(6, 24, 24)).astype(np.float32)
     ours = np.asarray(F.gaussian_filter(im, 3.0, truncate=2.0, mode="nearest"))

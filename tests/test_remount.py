@@ -26,6 +26,23 @@ def test_rigid_transform_roundtrip():
     np.testing.assert_allclose(r, r_true, atol=1e-8)
 
 
+def test_rigid_transform_3d_random_motion():
+    """Kabsch form must recover an arbitrary 3D rigid motion (the
+    pre-fix (Vt U.T).T form failed with ~500-unit reconstruction
+    error on exactly this case)."""
+    rng = np.random.default_rng(5)
+    before = rng.uniform(0, 1000, (12, 3))
+    # random proper rotation via QR
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    t_true = np.array([40.0, -15.0, 88.0])
+    after = before @ q + t_true
+    r, t = MT.rigid_transform_from_points(before, after)
+    np.testing.assert_allclose(before @ r + t, after, atol=1e-8)
+    assert np.linalg.det(r) > 0.999
+
+
 def test_align_manual_points_files(tmp_path):
     rng = np.random.default_rng(1)
     before = rng.uniform(0, 500, (6, 2))
