@@ -89,6 +89,12 @@ class DriftConfig:
     upsample_factor: int = 100       # 0.01 px subpixel precision (precision_fold)
     good_drift_th: float = 1.0       # crops agreeing within 1 px form consensus
     min_good_drifts: int = 3
+    # crop conditioning before the FFT: mean subtraction kills the constant
+    # background's overlap-triangle bias, the xy Hann window suppresses
+    # crop-boundary leakage (the role blurnorm2d plays in the reference,
+    # alignment_tools.py:278-328)
+    subtract_mean: bool = True
+    window: Optional[str] = "hann_xy"
 
 
 @dataclass(frozen=True)

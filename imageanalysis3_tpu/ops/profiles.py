@@ -243,6 +243,55 @@ def generate_bleed_profile(ims: Sequence[jnp.ndarray],
     return np.asarray(invert_mixing_profile(jnp.asarray(mixing)))
 
 
+def generate_bleed_profile_from_rounds(stacks: Sequence[jnp.ndarray],
+                                       th_seeds: Sequence[float] = None,
+                                       crop_radius: int = 4,
+                                       rsq_th: float = 0.81,
+                                       max_num_seeds: int = 256,
+                                       fitting_order: int = 2,
+                                       min_spots: int = 8) -> np.ndarray:
+    """Bleedthrough profile from per-channel calibration rounds.
+
+    ``stacks[i]`` is one full (C, Z, X, Y) multi-channel stack from a round
+    where ONLY channel i is labeled — the reference's actual calibration
+    input (Generate_bleedthrough_correction's one ``bleed_folder`` per
+    channel, correction_tools/bleedthrough.py:353-430).  Spots are fit in
+    the labeled channel of each round; every other channel's crops are
+    regressed against them, so leak directions never contaminate each
+    other (unlike a single multi-labeled stack).  Returns the inverse
+    unmixing profile (C, C, X, Y).
+    """
+    stacks = [jnp.asarray(s) for s in stacks]
+    c = len(stacks)
+    assert all(s.shape[0] == c for s in stacks), \
+        "each calibration stack must carry all C channels"
+    shape_xy = tuple(stacks[0].shape[2:])
+    if th_seeds is None:
+        th_seeds = [300.0] * c
+    mixing = np.zeros((c, c) + shape_xy, np.float32)
+    for i in range(c):
+        mixing[i, i] = 1.0
+    for ref_i in range(c):
+        ims = stacks[ref_i]
+        res = fit_fov_image(ims[ref_i], max_num_seeds=max_num_seeds,
+                            th_seed=th_seeds[ref_i])
+        centers = res.spots[:, 1:4]
+        valid = res.valid
+        for tar_i in range(c):
+            if tar_i == ref_i:
+                continue
+            reg = fit_spot_pair_regressions(
+                ims[ref_i], ims[tar_i], centers, valid, crop_radius)
+            keep = reg.valid & (reg.rsq >= rsq_th)
+            if int(jnp.sum(keep)) < min_spots:
+                continue
+            w = keep.astype(jnp.float32)
+            field = polynomial_field_2d(centers[:, 1:3], reg.slopes, w,
+                                        shape_xy, order=fitting_order)
+            mixing[tar_i, ref_i] = np.asarray(field)
+    return np.asarray(invert_mixing_profile(jnp.asarray(mixing)))
+
+
 # ---------------------------------------------------------------------------
 # Chromatic constants generation
 # ---------------------------------------------------------------------------

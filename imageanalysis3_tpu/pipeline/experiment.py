@@ -30,7 +30,7 @@ import numpy as np
 from ..config import (ExperimentConfig, CHANNEL_SEED_THRESHOLDS)
 from ..io.color_usage import ColorUsage, load_color_usage, find_hyb_folders
 from ..io.dax import read_dax, split_channels
-from ..io.store import FovStore, FLAG_CORRECTED
+from ..io.store import FovStore, FLAG_CORRECTED, FLAG_EMPTY
 from .fov import FovPipeline
 
 #: data_type <-> region-id prefix (reference classes/__init__.py:22-32)
@@ -446,3 +446,144 @@ class ExperimentDriver:
         """Process every FOV in the experiment; returns per-FOV counts."""
         return {fov: self.process_fov(fov, overwrite=overwrite)
                 for fov in self.fovs}
+
+    # -- chromosome image ---------------------------------------------------
+
+    def _chrom_plan(self) -> Optional[Tuple[RoundPlan, int]]:
+        """(plan, channel index) for a dedicated chromosome-paint round, if
+        Color_Usage marks one ('chrom' entry; reference
+        _load_chromosome_image, classes/field_of_view.py:1716-1820)."""
+        cu = self.color_usage
+        bead_ch = cu.channels[cu.bead_channel_index(self.bead_name)]
+        for folder in self.folders:
+            entries = cu.usage.get(self._folder_key(folder))
+            if not entries:
+                continue
+            for ch, info in zip(cu.channels, entries):
+                if info and "chrom" in info.lower():
+                    channels = [ch] + ([bead_ch] if bead_ch != ch else [])
+                    plan = RoundPlan(
+                        folder=folder, channels=channels,
+                        fit_channel_indices=[0], regions=[("chrom", 0)],
+                        drift_channel_index=channels.index(bead_ch))
+                    return plan, 0
+        return None
+
+    def generate_chromosome_image(self, fov_name: str,
+                                  data_type: str = "unique",
+                                  save: bool = True,
+                                  overwrite: bool = False) -> np.ndarray:
+        """Chromosome-paint stack for one FOV.
+
+        Two sources, matching the reference (classes/field_of_view.py:
+        1716-1935):
+          * a dedicated 'chrom'-marked round in Color_Usage: corrected +
+            drift-aligned directly (_load_chromosome_image);
+          * otherwise the drift-aligned sum of every *processed* region
+            image of `data_type` (_generate_chrom_im_from_data — the
+            reference shifts each stored image by its saved drift and
+            accumulates).
+        The result is cached in the store's `signal` group as `chrom_im`.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.warp import warp_image_drift
+
+        with FovStore(self.store_path(fov_name)) as store:
+            if not overwrite:
+                cached = store.load_signal("chrom_im")
+                if cached is not None:
+                    return cached
+
+            chrom = self._chrom_plan()
+            if chrom is not None:
+                plan, ci = chrom
+                pipe = self._pipeline_for(plan)
+                ims = self._load_round(plan, fov_name)
+                corrected = pipe.correct_jit(jnp.asarray(ims))
+                if plan.folder != self.ref_folder:
+                    ref_im = self._reference_image(fov_name)
+                    drift, _flag = pipe.drift_jit(
+                        corrected[plan.drift_channel_index], ref_im)
+                else:
+                    drift = jnp.zeros(3, jnp.float32)
+                out = np.asarray(warp_image_drift(corrected[ci], drift))
+                if save:
+                    store.save_signal("chrom_im", out, source="chrom_round")
+                return out
+
+            # accumulate from processed data-type rounds
+            acc = None
+            n_added = 0
+            g_ids = None
+            for plan in self._plans:
+                wanted = [(ci, rid) for ci, (dt, rid) in
+                          zip(plan.fit_channel_indices, plan.regions)
+                          if dt == data_type]
+                if not wanted:
+                    continue
+                if g_ids is None:
+                    g_ids = list(store._fh[data_type]["ids"][:])
+                flags = store.flags(data_type)
+                ready = [(ci, rid) for ci, rid in wanted
+                         if rid in g_ids and
+                         flags[g_ids.index(rid)] > FLAG_EMPTY]
+                if not ready:
+                    continue
+                pipe = self._pipeline_for(plan)
+                ims = self._load_round(plan, fov_name)
+                corrected = pipe.correct_jit(jnp.asarray(ims))
+                for ci, rid in ready:
+                    drift = store._fh[data_type]["drifts"][
+                        g_ids.index(rid)]
+                    shifted = warp_image_drift(corrected[ci],
+                                               jnp.asarray(drift))
+                    acc = shifted if acc is None else acc + shifted
+                    n_added += 1
+            if acc is None:
+                raise RuntimeError(
+                    f"no processed {data_type} images to combine; run "
+                    "process_fov first (reference loads only flags>0 ids)")
+            jax.block_until_ready(acc)
+            out = np.asarray(acc)
+            if save:
+                store.save_signal("chrom_im", out, source=data_type,
+                                  n_images=n_added)
+            return out
+
+    def identify_chromosomes(self, fov_name: str,
+                             nucleus_labels: Optional[np.ndarray] = None,
+                             expected_per_nucleus: int = 2,
+                             th_seed: Optional[float] = None,
+                             save: bool = True,
+                             **find_kwargs):
+        """Chromosome candidate centers inside nuclei for one FOV
+        (reference identify_chromosomes, segmentation_tools/chromosome.py:
+        409-486 + classes/field_of_view.py:1936-2341): generate/load the
+        chromosome image, seed candidates gated by the nucleus labels, and
+        persist `chrom_coords` to the store's signal group."""
+        import jax.numpy as jnp
+
+        from ..segmentation.chromosome import find_candidate_chromosomes
+
+        chrom_im = self.generate_chromosome_image(fov_name, save=save)
+        with FovStore(self.store_path(fov_name)) as store:
+            if nucleus_labels is None:
+                nucleus_labels = store.load_segmentation()
+            if nucleus_labels is None:
+                # no segmentation: the whole FOV is one nucleus
+                nucleus_labels = np.ones(chrom_im.shape, np.int32)
+            if th_seed is None:
+                # adaptive: candidates must rise above the combined stack's
+                # spread (the reference's per-cell adaptive threshold start)
+                th_seed = float(3.0 * np.std(chrom_im))
+            coords, labels, counts = find_candidate_chromosomes(
+                jnp.asarray(chrom_im), jnp.asarray(nucleus_labels),
+                expected_per_nucleus=expected_per_nucleus,
+                th_seed=th_seed, **find_kwargs)
+            if save:
+                store.save_signal("chrom_coords", coords,
+                                  expected_per_nucleus=expected_per_nucleus)
+                store.save_signal("chrom_labels", labels)
+        return coords, labels, counts

@@ -136,7 +136,9 @@ class FovPipeline:
 
             def one(s, r):
                 return subpixel_phase_correlation(
-                    r, s, upsample_factor=cfg.drift.upsample_factor)
+                    r, s, upsample_factor=cfg.drift.upsample_factor,
+                    subtract_mean=cfg.drift.subtract_mean,
+                    window=cfg.drift.window)
 
             # two-phase consensus, the reference's early exit
             # (correction_tools/alignment.py:624-674: stop when >=

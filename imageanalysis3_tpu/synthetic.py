@@ -142,6 +142,25 @@ class SyntheticFov:
     bleed: np.ndarray = None           # (C, C) mixing matrix applied
 
 
+def _poly_shift_np(coords: np.ndarray, constants: np.ndarray,
+                   ref_center: np.ndarray, max_order: int = 2) -> np.ndarray:
+    """Order-`max_order` polynomial shift field at (N, 3) coords, using the
+    same monomial basis/order as ops.warp (reference
+    correction_tools/chromatic.py:415-438)."""
+    from .ops.warp import monomial_exponents
+
+    d = coords - ref_center[None]
+    cols = []
+    for e in monomial_exponents(3, max_order):
+        c = np.ones(len(coords))
+        for dim, p in enumerate(e):
+            if p:
+                c = c * d[:, dim] ** p
+        cols.append(c)
+    X = np.stack(cols, axis=-1)                       # (N, n_mono)
+    return X @ np.asarray(constants, np.float64).T    # (N, 3)
+
+
 def write_synthetic_experiment(root: str,
                                shape=(12, 128, 128),
                                n_rounds: int = 3,
@@ -152,6 +171,12 @@ def write_synthetic_experiment(root: str,
                                buffer_frames: int = 4,
                                fov_names: Sequence[str] = ("Conv_zscan_00.dax",),
                                channels: Sequence[str] = ("750", "647", "488"),
+                               illumination_falloff: float = 0.0,
+                               bleed_leak: float = 0.0,
+                               chromatic_constants: Optional[dict] = None,
+                               corr_channels: Sequence[str] = ("750", "647"),
+                               calibration_rounds: bool = False,
+                               n_beads: Optional[int] = None,
                                ) -> dict:
     """Write a miniature on-disk experiment: H*-prefixed hyb folders of
     interleaved .dax movies + a Color_Usage.csv, mirroring the reference's
@@ -160,6 +185,20 @@ def write_synthetic_experiment(root: str,
     carries one 'u<N>' unique region per round.  Returns ground truth:
     {'drifts': (R,3), 'regions': {region_id: {'centers', 'channel'}},
      'channels': [...], 'folders': [...]}.
+
+    Optics distortions (all optional, applied in physical order — chromatic
+    spot displacement, per-channel vignetting, detection bleed mixing):
+      * ``illumination_falloff``: per-channel vignetting profile strength;
+      * ``bleed_leak``: off-diagonal mixing among ``corr_channels``;
+      * ``chromatic_constants``: {channel: (3, n_mono)} polynomial shift
+        fields (about the image center) displacing that channel's spots.
+    With ``calibration_rounds``, extra non-data folders are written the way
+    real experiments calibrate: one single-labeled round per corr channel
+    (``truth['bleed_folders']``) and one multi-color bead round
+    (``truth['chromatic_folder']``), both carrying the same distortions, so
+    tests can regenerate the profiles from the experiment's own data
+    (reference Generate_bleedthrough_correction /
+    Generate_chromatic_abbrevation inputs).
     """
     import csv as _csv
     import os
@@ -168,20 +207,64 @@ def write_synthetic_experiment(root: str,
 
     rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
+    channels = list(channels)
     n_data_ch = len(channels) - 1
+    corr_idx = [channels.index(c) for c in corr_channels if c in channels]
+    ref_center = np.asarray(shape, np.float64) / 2.0
+    chromatic_constants = chromatic_constants or {}
     drifts = np.vstack([np.zeros(3),
                         rng.uniform(-drift_scale, drift_scale,
                                     size=(n_rounds - 1, 3))])
-    _, bead_truth = random_spot_field(shape, n_spots, rng,
-                                      min_separation=14.0,
+    # a denser bead field than the data channels: registration accuracy
+    # scales with bead count (real fiducial channels carry hundreds)
+    if n_beads is None:
+        n_beads = max(2 * n_spots, 16)
+    _, bead_truth = random_spot_field(shape, n_beads, rng,
+                                      min_separation=10.0,
                                       height_range=(2000.0, 6000.0))
+    # per-channel vignetting (0 falloff => exactly flat)
+    illum = {}
+    for ci, ch in enumerate(channels):
+        f = illumination_falloff * (1.0 + 0.15 * ci)
+        illum[ch] = (illumination_profile(shape[1:], falloff=f)
+                     if illumination_falloff else
+                     np.ones(shape[1:], np.float64))
+    # detection mixing among corr channels (observed = M @ true)
+    m = np.eye(len(corr_idx))
+    if bleed_leak:
+        m = bleed_matrix(len(corr_idx), leak=bleed_leak, rng=rng)
     truth = {"drifts": drifts, "regions": {}, "channels": list(channels),
-             "folders": []}
+             "folders": [], "illumination": illum, "bleed_matrix": m,
+             "chromatic": dict(chromatic_constants),
+             "corr_channels": list(corr_channels)}
+
+    def displaced(centers: np.ndarray, ch: str) -> np.ndarray:
+        if ch in chromatic_constants:
+            return centers + _poly_shift_np(
+                centers, chromatic_constants[ch], ref_center)
+        return centers
+
+    def distort_and_write(folder: str, stacks, row_entries):
+        """Apply vignetting + bleed mixing, interleave, write."""
+        obs = [im * illum[ch][None] for im, ch in zip(stacks, channels)]
+        if bleed_leak and len(corr_idx) > 1:
+            mixed = [sum(m[a, b] * obs[corr_idx[b]]
+                         for b in range(len(corr_idx)))
+                     for a in range(len(corr_idx))]
+            for a, ci in enumerate(corr_idx):
+                obs[ci] = mixed[a]
+        movie = interleave_channels(
+            [np.clip(im, 0, 65535).astype(np.uint16) for im in obs],
+            buffer_frames=buffer_frames)
+        os.makedirs(folder, exist_ok=True)
+        for fov in fov_names:
+            write_dax(os.path.join(folder, fov), movie)
+        usage_rows.append([os.path.basename(folder)] + row_entries)
+
     usage_rows = []
     rid = 0
     for r in range(n_rounds):
         folder = os.path.join(root, f"H{r}R{r}")
-        os.makedirs(folder, exist_ok=True)
         truth["folders"].append(folder)
         row_entries = []
         stacks = []
@@ -190,10 +273,10 @@ def write_synthetic_experiment(root: str,
             _, t = random_spot_field(shape, n_spots, rng,
                                      min_separation=14.0,
                                      height_range=(1500.0, 5000.0))
-            centers = t["centers"] + drifts[r]
+            centers = displaced(t["centers"] + drifts[r], channels[c])
             im = render_gaussian_spots(shape, centers, t["heights"],
                                        t["sigmas"], background=120.0)
-            stacks.append(np.clip(im, 0, 65535).astype(np.uint16))
+            stacks.append(im)
             truth["regions"][rid] = {"centers": t["centers"],
                                      "heights": t["heights"],
                                      "channel": channels[c], "round": r}
@@ -201,12 +284,46 @@ def write_synthetic_experiment(root: str,
         bead_im = render_gaussian_spots(
             shape, bead_truth["centers"] + drifts[r],
             bead_truth["heights"], bead_truth["sigmas"], background=120.0)
-        stacks.append(np.clip(bead_im, 0, 65535).astype(np.uint16))
+        stacks.append(bead_im)
         row_entries.append("beads")
-        movie = interleave_channels(stacks, buffer_frames=buffer_frames)
-        for fov in fov_names:
-            write_dax(os.path.join(folder, fov), movie)
-        usage_rows.append([os.path.basename(folder)] + row_entries)
+        distort_and_write(folder, stacks, row_entries)
+
+    if calibration_rounds:
+        # one single-labeled round per corr channel (reference
+        # bleedthrough calibration experiments)
+        truth["bleed_folders"] = {}
+        for ci in corr_idx:
+            ch = channels[ci]
+            folder = os.path.join(root, f"Hbleed_{ch}")
+            _, t = random_spot_field(shape, max(n_spots, 12), rng,
+                                     min_separation=14.0,
+                                     height_range=(3000.0, 8000.0))
+            stacks = [np.full(shape, 120.0) for _ in channels]
+            stacks[ci] = render_gaussian_spots(
+                shape, displaced(t["centers"], ch), t["heights"],
+                t["sigmas"], background=120.0)
+            rows = ["null"] * len(channels)
+            rows[ci] = "bleedcal"
+            distort_and_write(folder, stacks, rows)
+            truth["bleed_folders"][ch] = folder
+        # one multi-color bead round (reference chromatic calibration):
+        # the same bead field in every corr channel, each displaced by
+        # that channel's chromatic field
+        folder = os.path.join(root, "Hchromcal")
+        _, t = random_spot_field(shape, max(n_spots, 12), rng,
+                                 min_separation=16.0,
+                                 height_range=(3000.0, 8000.0))
+        stacks = [np.full(shape, 120.0) for _ in channels]
+        for ci in corr_idx:
+            stacks[ci] = render_gaussian_spots(
+                shape, displaced(t["centers"], channels[ci]),
+                t["heights"], t["sigmas"], background=120.0)
+        distort_and_write(folder, stacks,
+                          ["chromcal" if i in corr_idx else "null"
+                           for i in range(len(channels))])
+        truth["chromatic_folder"] = folder
+        truth["chromatic_bead_centers"] = t["centers"]
+
     with open(os.path.join(root, "Color_Usage.csv"), "w", newline="") as fh:
         w = _csv.writer(fh)
         w.writerow(["Hyb"] + list(channels))
