@@ -1,7 +1,8 @@
 """Decoding & picking: spots -> genomic loci -> chromosome traces."""
 
 from .picking import (naive_pick_spots, dynamic_pick_spots, em_pick_spots,
-                      em_pick_spots_for_chromosomes, build_candidate_table,
+                      em_pick_spots_for_chromosomes,
+                      em_pick_spots_exclusive, build_candidate_table,
                       take_trace, EMPickResult)
 from .scoring import (ChromRefStats, chromosome_ref_stats, score_candidates,
                       local_centers, neighboring_dists)
@@ -13,7 +14,8 @@ from .homolog import (init_homolog_centers, assign_groups_to_homologs,
 
 __all__ = [
     "naive_pick_spots", "dynamic_pick_spots", "em_pick_spots",
-    "em_pick_spots_for_chromosomes", "build_candidate_table", "take_trace",
+    "em_pick_spots_for_chromosomes", "em_pick_spots_exclusive",
+    "build_candidate_table", "take_trace",
     "EMPickResult",
     "ChromRefStats", "chromosome_ref_stats", "score_candidates",
     "local_centers", "neighboring_dists",

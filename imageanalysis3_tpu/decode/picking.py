@@ -231,13 +231,156 @@ def em_pick_spots(cand_spots: jnp.ndarray, cand_valid: jnp.ndarray,
 
 
 def em_pick_spots_for_chromosomes(cand_spots, cand_valid, region_ids,
-                                  chrom_centers, **kw):
-    """Vmapped EM picking for several chromosomes sharing one candidate
-    table (reference chrom_share_spots=True mode).  `chrom_centers`:
-    (C, 3) px; returns an EMPickResult batched over chromosomes."""
+                                  chrom_centers, share_spots: bool = True,
+                                  **kw):
+    """EM picking for several chromosomes sharing one candidate table.
+
+    ``share_spots=True`` (reference chrom_share_spots=True): independent
+    vmapped EMs — two chromosomes may pick the same candidate.
+    ``share_spots=False`` (the reference default, chrom_share_spots=False,
+    spot_tools/picking.py:1106-1125): spots are exclusive — see
+    :func:`em_pick_spots_exclusive`.  `chrom_centers`: (C, 3) px; returns
+    an EMPickResult batched over chromosomes."""
+    if not share_spots:
+        return em_pick_spots_exclusive(cand_spots, cand_valid, region_ids,
+                                       jnp.asarray(chrom_centers,
+                                                   jnp.float32), **kw)
     fn = lambda ctr: em_pick_spots(cand_spots, cand_valid, region_ids,
                                    chrom_center=ctr, **kw)
     return jax.vmap(fn)(jnp.asarray(chrom_centers, jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("num_iters", "local_size",
+                                   "n_resolve_rounds"))
+def em_pick_spots_exclusive(cand_spots: jnp.ndarray,
+                            cand_valid: jnp.ndarray,
+                            region_ids: jnp.ndarray,
+                            chrom_centers: jnp.ndarray,
+                            pixel_size_nm=DEFAULT_PIXEL_SIZE_NM,
+                            num_iters: int = 10,
+                            terminate_th: float = 0.0025,
+                            local_size: int = 5,
+                            w_ctdist: float = 2.0, w_lcdist: float = 1.0,
+                            w_int: float = 1.0, w_nbdist: float = 2.0,
+                            max_distance_limit: float = 3000.0,
+                            n_resolve_rounds: int = 3) -> EMPickResult:
+    """Joint EM picking with cross-chromosome spot exclusivity.
+
+    Behavior target: the reference's chrom_share_spots=False multi-
+    chromosome DP (spot_tools/picking.py:1106-1125), which enumerates only
+    spot-disjoint index combinations across chromosomes (via
+    `_all_score_combinations` / `_optimized_score_combinations` — itself a
+    top-k heuristic at scale).  TPU-native form: each EM iteration runs
+    every chromosome's E-step + DP concurrently (vmap), then resolves
+    contested (region, candidate) cells over `n_resolve_rounds`: the
+    chromosome with the higher E-step score keeps the spot, losers re-run
+    their DP with that cell banned.  Any contest still unresolved after
+    the rounds invalidates the losers' picks for that region (never
+    double-assigns).  Returns an EMPickResult batched over chromosomes.
+    """
+    c = chrom_centers.shape[0]
+    r, m, _ = cand_spots.shape
+    centers = jnp.asarray(chrom_centers, jnp.float32)
+    has_any = jnp.any(cand_valid, axis=1)
+    n_regions = jnp.maximum(jnp.sum(has_any), 1)
+
+    def e_step(sel_idx, ctr):
+        """Scores (R, M) for one chromosome given its current picks."""
+        trace, ok = take_trace(cand_spots, cand_valid, sel_idx)
+        sel_ok = ok & has_any
+        refs = chromosome_ref_stats(
+            jnp.where(sel_ok[:, None], trace, 0.0), sel_ok, ctr,
+            pixel_size_nm, local_size)
+        sc = score_candidates(cand_spots, cand_valid,
+                              jnp.where(sel_ok[:, None], trace, 0.0),
+                              sel_ok, ctr, refs, pixel_size_nm,
+                              local_size, w_ctdist, w_lcdist, w_int,
+                              max_distance_limit)
+        nb_ref = jnp.where(jnp.isfinite(refs.nb_dist), refs.nb_dist, 500.0)
+        return sc, nb_ref
+
+    def dp(sc, nb_ref, avail):
+        ok = cand_valid & avail
+        idx, _ = dynamic_pick_spots(cand_spots, ok,
+                                    jnp.where(ok, sc, -jnp.inf),
+                                    region_ids, nb_ref, pixel_size_nm,
+                                    w_nbdist, max_distance_limit)
+        return idx
+
+    def m_step(sel_idx):
+        sc, nb_ref = jax.vmap(e_step)(sel_idx, centers)      # (C, R, M)
+        avail0 = jnp.ones((c, r, m), bool)                    # (C, R, M)
+        idx = jax.vmap(dp)(sc, nb_ref, avail0)                # (C, R)
+
+        def resolve(_, state):
+            idx, avail = state
+            # one-hot of each chromosome's picks on its available table
+            picked_ok = jnp.take_along_axis(
+                cand_valid & avail, idx[..., None], axis=2)[..., 0]  # (C,R)
+            onehot = (jnp.arange(m)[None, None, :] == idx[..., None]) \
+                & picked_ok[..., None]                         # (C, R, M)
+            counts = jnp.sum(onehot, axis=0)                   # (R, M)
+            contested = counts > 1
+            pick_sc = jnp.where(onehot, sc, -jnp.inf)          # (C, R, M)
+            winner = jnp.argmax(pick_sc, axis=0)               # (R, M)
+            loser = onehot & contested[None] \
+                & (jnp.arange(c)[:, None, None] != winner[None])
+            new_avail = avail & ~loser
+            new_idx = jax.vmap(dp)(sc, nb_ref, new_avail)
+            return new_idx, new_avail
+
+        idx, avail = jax.lax.fori_loop(0, n_resolve_rounds, resolve,
+                                       (idx, avail0))
+        # hard finish: any residual contest keeps only the winner
+        picked_ok = jnp.take_along_axis(
+            cand_valid & avail, idx[..., None], axis=2)[..., 0]
+        onehot = (jnp.arange(m)[None, None, :] == idx[..., None]) \
+            & picked_ok[..., None]
+        counts = jnp.sum(onehot, axis=0)
+        pick_sc = jnp.where(onehot, sc, -jnp.inf)
+        winner = jnp.argmax(pick_sc, axis=0)
+        keep = ~(onehot & (counts[None] > 1)
+                 & (jnp.arange(c)[:, None, None] != winner[None]))
+        sel_valid = picked_ok & jnp.take_along_axis(
+            keep, idx[..., None], axis=2)[..., 0]
+        return idx, sel_valid, sc
+
+    # init: per-chromosome naive pick (ties resolved by the first M-step)
+    sel0 = jax.vmap(lambda ctr: jnp.argmax(
+        _naive_scores(cand_spots, cand_valid, ctr, pixel_size_nm),
+        axis=1))(centers)                                      # (C, R)
+
+    def cond(state):
+        it, _idx, _v, change = state
+        return (it < num_iters) & (change >= terminate_th)
+
+    def body(state):
+        it, idx, _v, _change = state
+        new_idx, sel_valid, _sc = m_step(idx)
+        changed = jnp.sum((new_idx != idx) & has_any[None])
+        ratio = changed.astype(jnp.float32) / (
+            c * n_regions).astype(jnp.float32)
+        return it + 1, new_idx, sel_valid, ratio
+
+    state0 = (jnp.int32(0), sel0, jnp.zeros((c, r), bool),
+              jnp.float32(1.0))
+    it, sel_idx, sel_valid, change = jax.lax.while_loop(
+        cond, body, state0)
+
+    def finalize(idx, ok_c):
+        trace, ok = take_trace(cand_spots, cand_valid, idx)
+        ok = ok & ok_c
+        return jnp.where(ok[:, None], trace, jnp.nan), ok
+
+    trace, sel_ok = jax.vmap(finalize)(sel_idx, sel_valid)
+    sc_final, _ = jax.vmap(e_step)(sel_idx, centers)
+    picked_sc = jnp.take_along_axis(sc_final, sel_idx[..., None],
+                                    axis=2)[..., 0]
+    picked_sc = jnp.where(sel_ok, picked_sc, jnp.nan)
+    return EMPickResult(trace=trace, sel_idx=sel_idx, sel_valid=sel_ok,
+                        scores=picked_sc,
+                        n_iters=jnp.broadcast_to(it, (c,)),
+                        change_ratio=jnp.broadcast_to(change, (c,)))
 
 
 def build_candidate_table(spots_by_region, capacity: Optional[int] = None):

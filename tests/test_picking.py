@@ -244,3 +244,85 @@ def test_score_candidates_matches_reference_transliteration():
                           + dscore(lc, lc_ref, w_lc)
                           + w_int * np.log(ints / (ints + int_ref)))
     np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_em_exclusive_contested_candidate():
+    """chrom_share_spots=False semantics: when two chromosomes' DPs both
+    want the same bright candidate, exactly one wins (the better-scoring
+    chromosome) and the loser falls back to its own homolog's spot
+    (reference spot-disjoint combination enumeration,
+    spot_tools/picking.py:1106-1125)."""
+    rng = np.random.default_rng(5)
+    n_regions = 24
+    zxys_a = _polymer_trace(n_regions, rng, start=(2000, 3000, 3000))
+    zxys_b = _polymer_trace(n_regions, rng, start=(2000, 9000, 9000))
+    m = 3
+    cand = np.zeros((n_regions, m, 11), np.float32)
+    valid = np.zeros((n_regions, m), bool)
+    contested = 12
+    for i in range(n_regions):
+        cand[i, 0, 0] = rng.uniform(800, 1500)
+        cand[i, 0, 1:4] = (zxys_a[i] + rng.normal(0, 30, 3)) / PX
+        cand[i, 1, 0] = rng.uniform(800, 1500)
+        cand[i, 1, 1:4] = (zxys_b[i] + rng.normal(0, 30, 3)) / PX
+        valid[i, :2] = True
+    # region `contested`: only ONE candidate exists, midway between the
+    # homologs but slightly closer to A's trace -- both want it
+    cand[contested] = 0
+    valid[contested] = False
+    mid = 0.55 * zxys_a[contested] + 0.45 * zxys_b[contested]
+    cand[contested, 2, 0] = 5000.0
+    cand[contested, 2, 1:4] = mid / PX
+    valid[contested, 2] = True
+    ids = np.arange(n_regions, dtype=np.int32)
+    centers = np.stack([zxys_a.mean(0) / PX, zxys_b.mean(0) / PX])
+
+    res = P.em_pick_spots_for_chromosomes(
+        jnp.asarray(cand), jnp.asarray(valid), jnp.asarray(ids), centers,
+        share_spots=False)
+    sel = np.asarray(res.sel_idx)
+    sel_valid = np.asarray(res.sel_valid)
+    # exactly one chromosome holds the contested spot
+    holders = [c for c in range(2)
+               if sel_valid[c, contested] and sel[c, contested] == 2]
+    assert len(holders) == 1
+    # the winner is the chromosome whose trace it sits closer to (A)
+    assert holders == [0]
+    # no other (region, candidate) is double-assigned
+    for i in range(n_regions):
+        if sel_valid[0, i] and sel_valid[1, i]:
+            assert sel[0, i] != sel[1, i]
+    # both chromosomes still track their own traces elsewhere
+    others = np.ones(n_regions, bool)
+    others[contested] = False
+    assert (sel[0][others] == 0).mean() >= 0.9
+    assert (sel[1][others] == 1).mean() >= 0.9
+
+
+def test_em_exclusive_matches_shared_when_disjoint():
+    """With naturally disjoint homolog candidates, exclusivity must not
+    change the result of the shared-mode EM."""
+    rng = np.random.default_rng(4)
+    n_regions = 20
+    zxys_a = _polymer_trace(n_regions, rng, start=(2000, 3000, 3000))
+    zxys_b = _polymer_trace(n_regions, rng, start=(2000, 12000, 12000))
+    cand = np.zeros((n_regions, 2, 11), np.float32)
+    valid = np.ones((n_regions, 2), bool)
+    for i in range(n_regions):
+        cand[i, 0, 0] = rng.uniform(800, 1500)
+        cand[i, 0, 1:4] = (zxys_a[i] + rng.normal(0, 30, 3)) / PX
+        cand[i, 1, 0] = rng.uniform(800, 1500)
+        cand[i, 1, 1:4] = (zxys_b[i] + rng.normal(0, 30, 3)) / PX
+    ids = np.arange(n_regions, dtype=np.int32)
+    centers = np.stack([zxys_a.mean(0) / PX, zxys_b.mean(0) / PX])
+
+    shared = P.em_pick_spots_for_chromosomes(
+        jnp.asarray(cand), jnp.asarray(valid), jnp.asarray(ids), centers,
+        share_spots=True)
+    excl = P.em_pick_spots_for_chromosomes(
+        jnp.asarray(cand), jnp.asarray(valid), jnp.asarray(ids), centers,
+        share_spots=False)
+    np.testing.assert_array_equal(np.asarray(shared.sel_idx),
+                                  np.asarray(excl.sel_idx))
+    np.testing.assert_array_equal(np.asarray(shared.sel_valid),
+                                  np.asarray(excl.sel_valid))
