@@ -4,7 +4,12 @@ from .distmap import spots_to_zxy_nm, distance_map, median_distance_map
 from .domains import (sliding_window_dist, find_peaks_1d,
                       candidate_domain_boundaries, domain_pdists,
                       merge_domains, basic_domain_calling,
-                      insulation_domain_calling, arrowhead_transform)
+                      insulation_domain_calling, arrowhead_transform,
+                      iterative_domain_calling,
+                      sliding_window_domain_calling,
+                      contact_correlation_domain_calling,
+                      merge_domain_by_contact_correlation,
+                      neighboring_distance)
 from .compartments import (normalize_center_spots, ab_axis_projection,
                            spots_to_density, compartment_scores,
                            ab_compartment_eigenscore)
@@ -12,7 +17,9 @@ from .partition import (spots_to_labels, spots_to_intensity, count_genes,
                         translate_label_image)
 from .structure import (contact_map, domain_contact_freq,
                         inter_domain_interactions, loop_out_scores,
-                        call_loop_outs, genome_distance_summary)
+                        call_loop_outs, genome_distance_summary,
+                        interdomain_likelihood,
+                        iterative_interdomain_calling)
 from .population import (load_bed, region_overlap_fraction,
                          assign_compartments_from_domains,
                          CellTypeClassifier)
@@ -25,12 +32,16 @@ __all__ = [
     "sliding_window_dist", "find_peaks_1d", "candidate_domain_boundaries",
     "domain_pdists", "merge_domains", "basic_domain_calling",
     "insulation_domain_calling", "arrowhead_transform",
+    "iterative_domain_calling", "sliding_window_domain_calling",
+    "contact_correlation_domain_calling",
+    "merge_domain_by_contact_correlation", "neighboring_distance",
     "normalize_center_spots", "ab_axis_projection", "spots_to_density",
     "compartment_scores", "ab_compartment_eigenscore",
     "spots_to_labels", "spots_to_intensity", "count_genes",
     "translate_label_image",
     "contact_map", "domain_contact_freq", "inter_domain_interactions",
     "loop_out_scores", "call_loop_outs", "genome_distance_summary",
+    "interdomain_likelihood", "iterative_interdomain_calling",
     "load_bed", "region_overlap_fraction",
     "assign_compartments_from_domains", "CellTypeClassifier",
     "segmentation_to_cell_locations", "translate_cell_locations",

@@ -321,3 +321,241 @@ def insulation_domain_calling(distmap: np.ndarray,
     peaks = np.asarray(idx)[np.asarray(ok)]
     peaks = peaks[(peaks > 0) & (peaks < len(dm))]
     return np.unique(np.concatenate([[0], peaks]))
+
+
+# ---------------------------------------------------------------------------
+# Peak prominences (scipy.signal.peak_prominences semantics, host-side)
+# ---------------------------------------------------------------------------
+
+
+def _peak_prominences_np(x: np.ndarray, peaks: np.ndarray) -> np.ndarray:
+    """Prominence of each peak: height minus the higher of the two lowest
+    points between the peak and the nearest higher terrain on each side
+    (scipy.signal.peak_prominences semantics, used by the reference's
+    find_peaks(prominence=...) calls)."""
+    x = np.asarray(x, float)
+    n = len(x)
+    proms = np.zeros(len(peaks))
+    for k, p in enumerate(np.asarray(peaks, int)):
+        h = x[p]
+        # walk left until terrain exceeds h (or the signal ends)
+        i = p
+        left_min = h
+        while i > 0 and x[i - 1] <= h:
+            i -= 1
+            left_min = min(left_min, x[i])
+        # walk right likewise
+        j = p
+        right_min = h
+        while j < n - 1 and x[j + 1] <= h:
+            j += 1
+            right_min = min(right_min, x[j])
+        proms[k] = h - max(left_min, right_min)
+    return proms
+
+
+def _find_peaks_np(x: np.ndarray, distance: int = 1,
+                   min_prominence: Optional[float] = None) -> np.ndarray:
+    """scipy.signal.find_peaks(distance=..., prominence=...) equivalent:
+    strict local maxima, prominence screen, then highest-first suppression
+    within `distance`."""
+    x = np.asarray(x, float)
+    n = len(x)
+    idx = [i for i in range(1, n - 1)
+           if x[i] > x[i - 1] and x[i] > x[i + 1]]
+    idx = np.asarray(idx, int)
+    if min_prominence is not None and len(idx):
+        proms = _peak_prominences_np(x, idx)
+        idx = idx[proms >= min_prominence]
+    if distance > 1 and len(idx):
+        keep = np.ones(len(idx), bool)
+        order = np.argsort(-x[idx])
+        for oi in order:
+            if not keep[oi]:
+                continue
+            close = np.abs(idx - idx[oi]) < distance
+            close[oi] = False
+            keep &= ~(close & (x[idx] <= x[idx[oi]]))
+            keep[oi] = True
+        idx = idx[keep]
+    return np.sort(idx)
+
+
+# ---------------------------------------------------------------------------
+# Domain-calling variants (reference domain_tools/calling.py:294-881)
+# ---------------------------------------------------------------------------
+
+
+def iterative_domain_calling(zxys: np.ndarray, dom_sz: int = 5,
+                             split_level: int = 1, num_iter: int = 5,
+                             dist_th: float = 0.65,
+                             dist_th_scaling: float = 1.0,
+                             match_boundary_dist: int = 3) -> np.ndarray:
+    """Split-merge refinement of basic domain calling.
+
+    Behavior target: iterative_domain_calling
+    (domain_tools/calling.py:294-542): start from basic calling, then per
+    iteration (a) re-run candidate calling *inside* every domain longer
+    than 2*dom_sz and union the sub-boundaries (`split_level` times),
+    (b) merge the union, (c) stop when the boundary set is unchanged.
+    """
+    zxys = np.asarray(zxys, np.float64)
+    starts = basic_domain_calling(zxys, min_domain_size=dom_sz,
+                                  match_boundary_dist=match_boundary_dist,
+                                  dist_th=dist_th)
+    for _ in range(int(num_iter)):
+        split = list(starts)
+        for _ in range(int(split_level)):
+            ends = np.append(np.sort(np.unique(split))[1:], len(zxys))
+            new = []
+            for s, e in zip(np.sort(np.unique(split)), ends):
+                if e - s > 2 * dom_sz:
+                    sub = candidate_domain_boundaries(
+                        zxys[s:e], min_domain_size=dom_sz,
+                        match_boundary_dist=match_boundary_dist)
+                    new += [s + int(b) for b in sub]
+            split = np.unique(list(split) + new).astype(int)
+        merged = merge_domains(zxys, split,
+                               dist_th=dist_th * dist_th_scaling)
+        if len(merged) == len(starts) and (merged == starts).all():
+            break
+        starts = merged
+    return np.asarray(starts, int)
+
+
+def sliding_window_domain_calling(coordinates: np.ndarray,
+                                  window_size: int = 5,
+                                  distance_metric: str = "median",
+                                  min_domain_size: int = 4,
+                                  min_prominence: float = 0.25,
+                                  reproduce_ratio: float = 0.6,
+                                  merge_candidates: bool = True,
+                                  dist_th: float = 0.65,
+                                  merge_strength_th: float = 1.0,
+                                  return_strength: bool = False):
+    """Multi-window reproducibility domain calling.
+
+    Behavior target: Domain_Calling_Sliding_Window
+    (domain_tools/calling.py:543-679): compute the sliding-window boundary
+    signal for every window in [window_size, 2*window_size), find
+    prominence-screened peaks per window, keep peaks reproduced (within
+    ceil(min_domain_size/2)) in >= reproduce_ratio of the windows at the
+    mean matched position, then optionally merge — a boundary survives the
+    merge if merge keeps it OR its mean strength exceeds
+    `merge_strength_th`.  `coordinates`: (R, 3) zxys in nm or an (R, R)
+    distance map.
+    """
+    coords = np.asarray(coordinates, np.float64)
+    if coords.ndim == 2 and coords.shape[0] == coords.shape[1]:
+        mat = coords
+        zxys = None
+    else:
+        zxys = coords
+        mat = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    valid = jnp.asarray(np.all(np.isfinite(
+        zxys if zxys is not None else mat), axis=1))
+
+    dist_list = [np.asarray(sliding_window_dist(
+        jnp.asarray(np.nan_to_num(mat)), int(w), metric=distance_metric,
+        valid=valid)) for w in range(window_size, 2 * window_size)]
+    peak_list = [_find_peaks_np(d, distance=min_domain_size,
+                                min_prominence=min_prominence)
+                 for d in dist_list]
+
+    cand = peak_list[0]
+    r = int(np.ceil(min_domain_size / 2))
+    coords_mat = np.full((len(peak_list), len(cand)), np.nan)
+    coords_mat[0] = cand
+    for i, peaks in enumerate(peak_list[1:]):
+        for j, p in enumerate(cand):
+            hit = peaks[(peaks >= p - r) & (peaks <= p + r)]
+            if len(hit):
+                coords_mat[i + 1, j] = hit[0]
+    keep = (np.isfinite(coords_mat).sum(0)
+            >= reproduce_ratio * len(peak_list))
+    sel = (np.round(np.nanmean(coords_mat, axis=0)).astype(int)[keep]
+           if keep.any() else np.zeros(0, int))
+    starts = np.unique(np.concatenate([[0], sel]))
+    strengths = np.nanmean([d[starts] for d in dist_list], axis=0)
+
+    if merge_candidates and zxys is not None and len(starts) > 1:
+        merged = merge_domains(zxys, starts, dist_th=dist_th)
+        kept = np.array([s for i, s in enumerate(starts)
+                         if s in merged or strengths[i] > merge_strength_th],
+                        int)
+    else:
+        kept = starts
+    if return_strength:
+        ks = np.array([s for st, s in zip(starts, strengths) if st in kept])
+        return kept, ks
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# Contact-correlation domain calling (reference calling.py:806-881)
+# ---------------------------------------------------------------------------
+
+
+def neighboring_distance(zxys: np.ndarray, radius: int = 5) -> np.ndarray:
+    """Distance of each point to the mean of its +-radius neighbors
+    (reference _neighboring_distance, domain_tools/distance.py:444-462)."""
+    zxys = np.asarray(zxys, np.float64)
+    n = len(zxys)
+    out = np.full(n, np.nan)
+    for i in range(n):
+        lo, hi = max(0, i - radius), min(n, i + radius + 1)
+        nb = [j for j in range(lo, hi) if j != i]
+        if nb:
+            out[i] = np.linalg.norm(np.nanmean(zxys[nb], axis=0) - zxys[i])
+    return out
+
+
+def merge_domain_by_contact_correlation(zxys: np.ndarray,
+                                        starts: Sequence[int],
+                                        contact_th: float = 500.0,
+                                        corr_th: float = 0.5) -> np.ndarray:
+    """Merge adjacent domains while any adjacent-pair contact frequency
+    exceeds `corr_th` (reference merge_domain_by_contact_correlation,
+    domain_tools/calling.py:806-853)."""
+    from .structure import domain_contact_freq
+
+    zxys = np.asarray(zxys, np.float64)
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    starts = np.sort(np.asarray(starts, int))
+    if 0 not in starts:
+        starts = np.concatenate([[0], starts])
+    while len(starts) > 1:
+        cfreq = domain_contact_freq(dm, starts, contact_th)
+        adj = np.diag(cfreq, 1)
+        if not (adj > corr_th).any():
+            break
+        starts = np.delete(starts, int(np.argmax(adj)) + 1)
+    return starts
+
+
+def contact_correlation_domain_calling(zxys: np.ndarray,
+                                       remove_outlier_th: float = 750.0,
+                                       domain_size: int = 5,
+                                       cand_domain_th: float = 0.3,
+                                       contact_th: float = 500.0,
+                                       corr_th: float = 0.5) -> np.ndarray:
+    """Contact-frequency merged domain calling (reference
+    contact_correlation_domain_calling, domain_tools/calling.py:855-881):
+    drop NaN points and neighbor-distance outliers, call candidate
+    boundaries from the sliding-window signal, merge by adjacent contact
+    frequency, and map boundaries back to original region indices."""
+    zxys = np.asarray(zxys, np.float64)
+    good = np.where(np.isfinite(zxys).all(1))[0]
+    gz = zxys[good]
+    nb = neighboring_distance(gz)
+    outliers = _find_peaks_np(np.nan_to_num(nb),
+                              min_prominence=remove_outlier_th)
+    kept = np.setdiff1d(np.arange(len(gz)), outliers)
+    kz = gz[kept]
+    dm = np.linalg.norm(kz[:, None] - kz[None], axis=-1)
+    sig = np.asarray(sliding_window_dist(jnp.asarray(dm), domain_size))
+    cand = _find_peaks_np(sig, distance=max(int(domain_size / 2), 1),
+                          min_prominence=cand_domain_th)
+    merged = merge_domain_by_contact_correlation(kz, cand, contact_th,
+                                                 corr_th)
+    return good[kept[merged]]

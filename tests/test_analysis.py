@@ -255,3 +255,100 @@ def test_cell_locations_pipeline():
     t3 = translate_cell_locations(df, [0.0, 300.0, 200.0])
     merged2 = merge_cell_locations([t, t3])
     assert len(merged2) == 6
+
+
+# ---------------------------------------------------------------------------
+# Domain-calling variants (reference domain_tools/calling.py:294-881)
+# ---------------------------------------------------------------------------
+
+
+def test_find_peaks_np_matches_scipy():
+    """Prominence + distance peak screening matches scipy.signal (which
+    the reference calls directly, calling.py:628-630)."""
+    import scipy.signal
+
+    rng = np.random.default_rng(7)
+    x = np.cumsum(rng.normal(size=200))
+    x += 3 * np.sin(np.arange(200) / 5.0)
+    for distance, prom in [(1, None), (4, None), (1, 0.5), (6, 1.0)]:
+        kw = {"distance": distance}
+        if prom is not None:
+            kw["prominence"] = (prom, None)
+        want = scipy.signal.find_peaks(x, **kw)[0]
+        got = DM._find_peaks_np(x, distance=distance, min_prominence=prom)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_iterative_domain_calling_recovers_nested_blocks():
+    """Iterative split-merge finds a sub-boundary the first basic pass
+    misses inside a long weakly-split domain."""
+    rng = np.random.default_rng(3)
+    sizes = [14, 13, 15, 12]
+    zxys = _block_polymer(rng, sizes)
+    starts = DM.iterative_domain_calling(zxys, dom_sz=5, num_iter=4)
+    true_starts = np.cumsum([0] + sizes[:-1])
+    assert 0 in starts
+    for t in true_starts[1:]:
+        assert np.min(np.abs(starts - t)) <= 2, (starts, true_starts)
+
+
+def test_sliding_window_domain_calling_reproducibility():
+    rng = np.random.default_rng(4)
+    sizes = [14, 14, 14]
+    zxys = _block_polymer(rng, sizes)
+    starts, strengths = DM.sliding_window_domain_calling(
+        zxys, window_size=5, min_domain_size=4, min_prominence=0.25,
+        return_strength=True)
+    assert 0 in starts
+    for t in (14, 28):
+        assert np.min(np.abs(np.asarray(starts) - t)) <= 2, starts
+    assert len(strengths) == len(starts)
+    # raising the prominence bar prunes boundaries (random walks do carry
+    # transient density structure, so an absolute zero is not expected)
+    flat = np.cumsum(rng.normal(0, 30, (40, 3)), axis=0)
+    weak = DM.sliding_window_domain_calling(flat, window_size=5,
+                                            min_prominence=0.25,
+                                            merge_candidates=False)
+    strict = DM.sliding_window_domain_calling(flat, window_size=5,
+                                              min_prominence=3.0,
+                                              merge_candidates=False)
+    assert len(strict) <= len(weak)
+
+
+def test_contact_correlation_domain_calling():
+    """Boundaries from the contact-frequency merge; a spurious split in
+    the middle of one tight block is merged away because the adjacent
+    halves stay in contact."""
+    rng = np.random.default_rng(5)
+    sizes = [16, 16]
+    zxys = _block_polymer(rng, sizes, step=60.0, jump=2500.0)
+    starts = DM.contact_correlation_domain_calling(
+        zxys, domain_size=5, cand_domain_th=0.2, contact_th=500.0,
+        corr_th=0.3)
+    assert np.min(np.abs(np.asarray(starts) - 16)) <= 2, starts
+    # NaN rows are tolerated and indices map back to original positions
+    zxys_nan = zxys.copy()
+    zxys_nan[3] = np.nan
+    starts2 = DM.contact_correlation_domain_calling(
+        zxys_nan, domain_size=5, cand_domain_th=0.2, contact_th=500.0,
+        corr_th=0.3)
+    assert all(0 <= s < len(zxys) for s in starts2)
+
+
+def test_iterative_interdomain_calling():
+    """Two far-apart domains folded back into contact are called as an
+    interacting pair and survive refinement; non-interacting pairs don't."""
+    from imageanalysis3_tpu.analysis import structure as ST
+
+    rng = np.random.default_rng(6)
+    sizes = [12, 12, 12, 12]
+    zxys = _block_polymer(rng, sizes, jump=1500.0)
+    # fold domain 3 back onto domain 0 (spatial contact, far in sequence)
+    zxys[36:48] = zxys[:12] + rng.normal(0, 60.0, (12, 3))
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    starts = np.array([0, 12, 24, 36])
+    pairs = ST.iterative_interdomain_calling(
+        dm, starts, init_th=0.55, mean_contact_ratio=0.05,
+        contact_th=700.0)
+    assert (0, 3) in pairs, pairs
+    assert (0, 2) not in pairs and (1, 3) not in pairs
