@@ -11,6 +11,9 @@ from .filters import (gaussian_filter, maximum_filter, minimum_filter,
 from .gaussian_fit import (iter_fit_seed_points, fit_fov_image,
                            get_centers, select_sparse_centers,
                            find_image_background, FitResult)
+from .cell_fitting import (fit_spots_in_crops, fit_spots_by_segmentation,
+                           fit_spots_around_centers,
+                           segmentation_bounding_boxes)
 from .matching import (find_paired_centers, check_paired_centers,
                        align_beads, accumulate_sequential_drifts,
                        rigid_transform_from_points, align_manual_points,
@@ -32,6 +35,8 @@ __all__ = [
     "gaussian_highpass", "gaussian_deconvolution", "counting_median",
     "iter_fit_seed_points", "fit_fov_image", "get_centers",
     "select_sparse_centers", "find_image_background", "FitResult",
+    "fit_spots_in_crops", "fit_spots_by_segmentation",
+    "fit_spots_around_centers", "segmentation_bounding_boxes",
     "find_paired_centers", "check_paired_centers", "align_beads",
     "accumulate_sequential_drifts", "rigid_transform_from_points",
     "align_manual_points", "translate_spot_coordinates",

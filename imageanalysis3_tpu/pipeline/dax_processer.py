@@ -203,6 +203,28 @@ class DaxProcesser:
         self.spots = out
         return out
 
+    def _fit_spots_by_segmentation(self, channel: str,
+                                   seg_label: np.ndarray,
+                                   th_seed: float = 500.0,
+                                   num_spots: Optional[int] = None,
+                                   segment_search_radius: int = 3,
+                                   **fit_kwargs
+                                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fit spots per segmented cell (reference
+        DaxProcesser._fit_spots_by_segmentation,
+        classes/preprocess.py:1093-1152).  Returns (spots, cell_ids) and
+        stores them as `spots_<ch>` / `spots_cell_ids_<ch>`."""
+        from ..ops.cell_fitting import fit_spots_by_segmentation
+
+        spots, cell_ids = fit_spots_by_segmentation(
+            self.ims[channel], seg_label, th_seed=th_seed,
+            num_spots=num_spots,
+            segment_search_radius=segment_search_radius,
+            drift=self.drift, **fit_kwargs)
+        setattr(self, f"spots_{channel}", spots)
+        setattr(self, f"spots_cell_ids_{channel}", cell_ids)
+        return spots, cell_ids
+
     def _correct_spot_coords(self, spots_zxy: np.ndarray,
                              channel: str,
                              chromatic_constants: Optional[Dict[str,
