@@ -1,9 +1,11 @@
 """Segmentation: nuclei labeling, chromosome candidates, mask adapters."""
 
-from .nuclei import (otsu_threshold, segment_nuclei, propagate_labels,
-                     label_sizes)
+from .nuclei import (otsu_threshold, segment_nuclei, segment_cells,
+                     propagate_labels, label_sizes, merge_z_layer_masks,
+                     interpolate_z_masks)
 from .chromosome import find_candidate_chromosomes, assign_seeds_to_nuclei
 
-__all__ = ["otsu_threshold", "segment_nuclei", "propagate_labels",
-           "label_sizes", "find_candidate_chromosomes",
+__all__ = ["otsu_threshold", "segment_nuclei", "segment_cells",
+           "propagate_labels", "label_sizes", "merge_z_layer_masks",
+           "interpolate_z_masks", "find_candidate_chromosomes",
            "assign_seeds_to_nuclei"]

@@ -70,9 +70,11 @@ def _neighbor_shift(x: jnp.ndarray, axis: int, direction: int,
     return jnp.where(edge, fill, rolled)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "step_costs"))
 def propagate_labels(seed_labels: jnp.ndarray, mask: jnp.ndarray,
-                     max_iters: int = 256) -> jnp.ndarray:
+                     max_iters: int = 256,
+                     step_costs: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+                     ) -> jnp.ndarray:
     """Geodesic nearest-seed labeling inside `mask` (watershed expansion).
 
     seed_labels: (Z, X, Y) int32, >0 at seed voxels; mask: foreground.
@@ -80,6 +82,12 @@ def propagate_labels(seed_labels: jnp.ndarray, mask: jnp.ndarray,
     6-neighborhood — the device-native replacement for skimage
     random_walker / watershed growing (reference
     segmentation_tools/cell.py:300-360, visual_tools.py:1210+).
+
+    ``step_costs`` are per-axis geodesic step lengths: passing the voxel
+    pitch (e.g. (250, 108, 108) nm) makes the propagation metrically
+    isotropic — the device-native replacement for the reference's
+    resize-to-isotropic round trip (Cellpose_Segmentation_3D.
+    generate_resize_shape, segmentation_tools/cell.py:297-312).
     """
     big = jnp.float32(1e9)
     dist0 = jnp.where(seed_labels > 0, 0.0, big)
@@ -90,7 +98,8 @@ def propagate_labels(seed_labels: jnp.ndarray, mask: jnp.ndarray,
         best_d, best_l = dist, lab
         for axis in range(3):
             for direction in (1, -1):
-                nd = _neighbor_shift(dist, axis, direction, big) + 1.0
+                nd = _neighbor_shift(dist, axis, direction, big) \
+                    + float(step_costs[axis])
                 nl = _neighbor_shift(lab, axis, direction, 0)
                 better = (nd < best_d) & mask & (nl > 0)
                 best_d = jnp.where(better, nd, best_d)
@@ -125,7 +134,8 @@ def segment_nuclei(dapi_im: jnp.ndarray,
                    max_num_nuclei: int = 64,
                    min_size_voxels: int = 200,
                    max_iters: int = 256,
-                   seed_th: Optional[float] = None
+                   seed_th: Optional[float] = None,
+                   pixel_sizes: Optional[Tuple[float, float, float]] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """DAPI stack -> (labels (Z, X, Y) int32, seed coords, seed validity).
 
@@ -136,8 +146,15 @@ def segment_nuclei(dapi_im: jnp.ndarray,
     """
     from ..ops.gaussian_fit import select_sparse_centers
 
-    smooth = gaussian_filter(jnp.asarray(dapi_im, jnp.float32),
-                             smooth_sigma)
+    # anisotropy-aware smoothing: sigma in *physical* units, scaled per
+    # axis by the voxel pitch (the reference instead resizes the stack to
+    # isotropic voxels before filtering, segmentation_tools/cell.py:297)
+    if pixel_sizes is not None:
+        p = np.asarray(pixel_sizes, float)
+        sigma = tuple(float(smooth_sigma) * p.min() / p)
+    else:
+        sigma = smooth_sigma
+    smooth = gaussian_filter(jnp.asarray(dapi_im, jnp.float32), sigma)
     th = otsu_threshold(smooth) if threshold is None else threshold
     mask = smooth > th
 
@@ -162,10 +179,128 @@ def segment_nuclei(dapi_im: jnp.ndarray,
     y = jnp.clip(coords[:, 2], 0, smooth.shape[2] - 1)
     seed_vol = seed_vol.at[z, x, y].max(jnp.where(valid, ids, 0))
 
-    labels = propagate_labels(seed_vol, mask, max_iters=max_iters)
+    labels = propagate_labels(seed_vol, mask, max_iters=max_iters,
+                              step_costs=_step_costs(pixel_sizes))
     sizes = label_sizes(labels, max_labels=int(coords.shape[0]))
     keep = sizes >= min_size_voxels
     keep = keep.at[0].set(False)
     labels = jnp.where(keep[jnp.clip(labels, 0, coords.shape[0])], labels,
                        0)
     return labels, coords, valid
+
+
+def _step_costs(pixel_sizes) -> Tuple[float, float, float]:
+    """Per-axis geodesic step lengths normalized to the finest pitch."""
+    if pixel_sizes is None:
+        return (1.0, 1.0, 1.0)
+    p = np.asarray(pixel_sizes, float)
+    p = p / p.min()
+    return tuple(float(v) for v in p)
+
+
+def segment_cells(dapi_im: jnp.ndarray,
+                  polyt_im: Optional[jnp.ndarray] = None,
+                  pixel_sizes: Tuple[float, float, float] = (250.0, 108.0,
+                                                             108.0),
+                  smooth_sigma: float = 3.0,
+                  seed_min_distance: float = 20.0,
+                  max_num_nuclei: int = 64,
+                  min_size_voxels: int = 200,
+                  max_iters: int = 256,
+                  polyt_threshold: Optional[float] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-channel cell segmentation -> (cell labels, nucleus labels).
+
+    Behavior target: Cellpose_Segmentation_3D.run
+    (segmentation_tools/cell.py:192-362): segment nuclei on the (polyT,
+    DAPI) pair at isotropic scale, then expand each nucleus through the
+    polyT cytoplasm signal (the reference's random_walker with the nucleus
+    masks as seeds).  TPU-native: anisotropy enters as per-axis geodesic
+    step costs instead of a cv2 resize round trip; the polyT expansion is
+    the same label propagation restricted to the polyT foreground.
+    """
+    dapi = jnp.asarray(dapi_im, jnp.float32)
+    nuc_labels, _coords, _valid = segment_nuclei(
+        dapi, smooth_sigma=smooth_sigma,
+        seed_min_distance=seed_min_distance,
+        max_num_nuclei=max_num_nuclei,
+        min_size_voxels=min_size_voxels, max_iters=max_iters,
+        pixel_sizes=pixel_sizes)
+    if polyt_im is None:
+        return nuc_labels, nuc_labels
+    polyt = gaussian_filter(jnp.asarray(polyt_im, jnp.float32),
+                            smooth_sigma)
+    th = (otsu_threshold(polyt) if polyt_threshold is None
+          else polyt_threshold)
+    fg = (polyt > th) | (nuc_labels > 0)
+    cell_labels = propagate_labels(nuc_labels, fg, max_iters=max_iters,
+                                   step_costs=_step_costs(pixel_sizes))
+    return cell_labels, nuc_labels
+
+
+def merge_z_layer_masks(layer_masks: np.ndarray,
+                        overlap_th: float = 0.9) -> np.ndarray:
+    """Merge per-layer 2D label masks into consistent 3D cells by
+    xy-projection overlap.
+
+    Behavior target: Cellpose_Segmentation_Psedu3D.merge_3d_masks
+    (segmentation_tools/cell.py:114-191): walk label ids, and when two
+    ids' xy projections overlap, keep the pair under one id when either
+    overlap fraction exceeds `overlap_th`, else drop the smaller claim —
+    here simplified to its effective behavior: union ids whose projection
+    overlap (relative to the smaller) exceeds `overlap_th`, relabel
+    densely.
+    """
+    masks = np.asarray(layer_masks)
+    ids = np.unique(masks)
+    ids = ids[ids > 0]
+    proj = {int(i): (masks == i).any(axis=0) for i in ids}
+    parent = {int(i): int(i) for i in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ids = [int(i) for i in ids]
+    for a_i, a in enumerate(ids):
+        for b in ids[a_i + 1:]:
+            inter = np.sum(proj[a] & proj[b])
+            if inter == 0:
+                continue
+            frac = inter / min(proj[a].sum(), proj[b].sum())
+            if frac >= overlap_th:
+                parent[find(b)] = find(a)
+    roots = {i: find(i) for i in ids}
+    dense = {r: k + 1 for k, r in enumerate(sorted(set(roots.values())))}
+    out = np.zeros_like(masks)
+    for i in ids:
+        out[masks == i] = dense[roots[i]]
+    return out
+
+
+def interpolate_z_masks(z_masks: np.ndarray, z_coords: np.ndarray,
+                        target_z_coords: np.ndarray,
+                        mode: str = "nearest") -> np.ndarray:
+    """Resample label masks from one z grid onto another.
+
+    Behavior target: interploate_z_masks
+    (segmentation_tools/cell.py:614-656): exact-match layers copy
+    through; otherwise 'nearest' picks the closest source layer.  Used to
+    translate masks segmented on an RNA experiment's z grid onto a DNA
+    experiment's grid.
+    """
+    z_masks = np.asarray(z_masks)
+    z_coords = np.round(np.asarray(z_coords, float), 3)
+    target = np.round(np.asarray(target_z_coords, float), 3)
+    out = []
+    for fz in target:
+        hit = np.where(z_coords == fz)[0]
+        if len(hit):
+            out.append(z_masks[hit[0]])
+        elif mode == "nearest":
+            out.append(z_masks[int(np.argmin(np.abs(z_coords - fz)))])
+        else:
+            raise ValueError(f"unsupported mode: {mode}")
+    return np.asarray(out)

@@ -81,3 +81,87 @@ def test_find_candidate_chromosomes():
     for c in chrom_centers:
         d = np.linalg.norm(coords - c, axis=1).min()
         assert d < 2.0
+
+
+# ---------------------------------------------------------------------------
+# Segmentation depth (reference segmentation_tools/cell.py:31-362, 614-656)
+# ---------------------------------------------------------------------------
+
+
+def _ellipsoid_mask(shape, center, radii_vox):
+    zz, xx, yy = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    d2 = (((zz - center[0]) / radii_vox[0]) ** 2
+          + ((xx - center[1]) / radii_vox[1]) ** 2
+          + ((yy - center[2]) / radii_vox[2]) ** 2)
+    return d2 <= 1.0
+
+
+def test_segment_cells_touching_nuclei_iou():
+    """Two touching nuclei with anisotropic voxels: per-cell IoU >= 0.9
+    vs truth; the polyT halo expands each cell beyond its nucleus
+    (reference Cellpose_Segmentation_3D.run semantics)."""
+    shape = (16, 96, 96)
+    px = (250.0, 108.0, 108.0)
+    rng = np.random.default_rng(0)
+    # nuclei: ~1.8 um radius spheres in nm -> anisotropic voxel radii
+    r_nm = 1800.0
+    radii = np.array([r_nm / px[0], r_nm / px[1], r_nm / px[2]])
+    c1 = np.array([8.0, 38.0, 48.0])
+    c2 = np.array([8.0, 68.0, 48.0])     # touching along x (gap < 2*r)
+    m1 = _ellipsoid_mask(shape, c1, radii)
+    m2 = _ellipsoid_mask(shape, c2, radii)
+    # overlap voxels assigned to the nearer center (ground truth split)
+    both = m1 & m2
+    zz, xx, yy = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    vox = np.stack([zz, xx, yy], -1).astype(float) * np.asarray(px) / 108.0
+    d1 = np.linalg.norm(vox - c1 * np.asarray(px) / 108.0, axis=-1)
+    d2 = np.linalg.norm(vox - c2 * np.asarray(px) / 108.0, axis=-1)
+    t1 = (m1 & ~both) | (both & (d1 <= d2))
+    t2 = (m2 & ~both) | (both & (d1 > d2))
+
+    dapi = 100.0 + 900.0 * (t1 | t2) + rng.normal(0, 5, shape)
+    # polyT cytoplasm: a wider halo around both nuclei
+    halo = _ellipsoid_mask(shape, c1, radii * 1.5) | \
+        _ellipsoid_mask(shape, c2, radii * 1.5)
+    polyt = 100.0 + 600.0 * halo + rng.normal(0, 5, shape)
+
+    cells, nuclei = SG.segment_cells(
+        jnp.asarray(dapi, jnp.float32), jnp.asarray(polyt, jnp.float32),
+        pixel_sizes=px, smooth_sigma=2.0, seed_min_distance=25.0,
+        max_num_nuclei=8, min_size_voxels=100)
+    cells = np.asarray(cells)
+    nuclei = np.asarray(nuclei)
+    got_ids = np.unique(cells)
+    got_ids = got_ids[got_ids > 0]
+    assert len(got_ids) == 2, got_ids
+    # match got labels to truth by overlap, check nucleus IoU >= 0.9
+    for t in (t1, t2):
+        best = max(got_ids,
+                   key=lambda g: np.sum((nuclei == g) & t))
+        inter = np.sum((nuclei == best) & t)
+        union = np.sum((nuclei == best) | t)
+        assert inter / union >= 0.9, inter / union
+    # polyT expansion: cells extend beyond nuclei
+    assert (cells > 0).sum() > (nuclei > 0).sum() * 1.3
+
+
+def test_merge_z_layer_masks():
+    masks = np.zeros((3, 16, 16), np.int32)
+    masks[0, 2:8, 2:8] = 1       # same cell across layers, different ids
+    masks[1, 2:8, 2:8] = 2
+    masks[2, 3:8, 2:8] = 5
+    masks[1, 10:15, 10:15] = 3   # a different cell
+    merged = SG.merge_z_layer_masks(masks, overlap_th=0.8)
+    assert merged[0, 4, 4] == merged[1, 4, 4] == merged[2, 4, 4]
+    assert merged[1, 12, 12] != merged[1, 4, 4]
+    assert set(np.unique(merged)) == {0, 1, 2}
+
+
+def test_interpolate_z_masks_nearest():
+    z_masks = np.stack([np.full((4, 4), 1), np.full((4, 4), 2),
+                        np.full((4, 4), 3)])
+    z = np.array([0.0, 1.0, 2.0])
+    target = np.array([0.0, 0.4, 0.6, 1.9, 2.5])
+    out = SG.interpolate_z_masks(z_masks, z, target)
+    assert [int(m[0, 0]) for m in out] == [1, 1, 2, 3, 3]
+    assert out.shape == (5, 4, 4)
