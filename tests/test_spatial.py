@@ -74,3 +74,50 @@ def test_sharded_correct_and_seed_matches_single_device():
         np.asarray(seeds_1.valid)]}
     assert got == want
     assert int(seeds_sh.count) == int(seeds_1.count)
+
+
+def test_sharded_process_round_full_chain():
+    """The FULL sharded round (correct -> drift -> seed -> fit) recovers
+    planted truth on an 8-device mesh and matches a 1-device run of the
+    same program (VERDICT r2 weak #6: shard a whole round spatially)."""
+    from imageanalysis3_tpu.parallel.spatial import sharded_process_round
+
+    shape = (10, 128, 64)
+    rng = np.random.default_rng(5)
+    _, t = syn.random_spot_field(shape, 40, rng, min_separation=7.0,
+                                 height_range=(1500.0, 4000.0))
+    ref = syn.render_gaussian_spots(shape, t["centers"], t["heights"],
+                                    t["sigmas"], 120.0).astype(np.float32)
+    d_true = np.array([0.4, 1.2, -0.9])
+    mov = syn.render_gaussian_spots(shape, t["centers"] + d_true,
+                                    t["heights"], t["sigmas"],
+                                    120.0).astype(np.float32)
+    ims = np.stack([mov, mov])          # channel 0 = data, 1 = drift
+
+    kw = dict(drift_channel_index=1, fit_channel_indices=(0,),
+              seed_thresholds=[400.0, 400.0], hot_pixel=False,
+              drift_size=32, max_num_seeds=48, lm_iters=15, n_max_iter=3,
+              background_gfilt_size=3.0)
+    out8 = sharded_process_round(jnp.asarray(ims), jnp.asarray(ref),
+                                 make_mesh(8), **kw)
+    corrected, spots, valid, drift, dflag = jax.tree.map(np.asarray, out8)
+    assert corrected.shape == (2,) + shape
+    # recovered drift ~= -planted displacement
+    np.testing.assert_allclose(drift, -d_true, atol=0.2)
+    # drift-corrected spot coords land on round-0 truth
+    got = spots[0][valid[0]][:, 1:4]
+    matched = sum(np.linalg.norm(got - c, axis=1).min() < 0.3
+                  for c in t["centers"])
+    assert matched >= 0.8 * len(t["centers"])
+
+    # 1-device parity: same program, trivial mesh
+    out1 = sharded_process_round(jnp.asarray(ims), jnp.asarray(ref),
+                                 make_mesh(1), **kw)
+    c1, s1, v1, d1, f1 = jax.tree.map(np.asarray, out1)
+    np.testing.assert_allclose(corrected, c1, rtol=2e-5, atol=2e-2)
+    np.testing.assert_allclose(drift, d1, atol=5e-3)
+    # same spots found (sets of centers agree to tolerance)
+    got1 = s1[0][v1[0]][:, 1:4]
+    assert len(got1) == len(got)
+    for c in got1:
+        assert np.linalg.norm(got - c, axis=1).min() < 0.05
