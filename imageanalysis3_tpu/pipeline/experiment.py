@@ -404,14 +404,35 @@ class ExperimentDriver:
         """Sequential drift mode: each round registers against the
         previous round's corrected drift-channel image; stored drifts are
         the cumulative sums vs round 0 (reference Calculate_Bead_Drift
-        sequential mode, corrections.py:21-278).  The whole chain is
-        reprocessed when any region is pending (cumulative continuity)."""
+        sequential mode, corrections.py:21-278).
+
+        Resume is per-round: a fully-saved round contributes its *stored*
+        cumulative drift to the chain (the reference resumes sequential
+        chains from the saved drift dict, corrections.py:96-140) and is
+        neither re-fit nor re-corrected — only the round immediately
+        preceding the first pending round is re-corrected to rebuild the
+        registration target."""
         import jax
 
         cum = np.zeros(3, np.float32)
         prev_im = None
+        prev_plan = None
         for plan in self._plans:
+            round_pending = any(rid in pending[dt]
+                                for dt, rid in plan.regions)
+            if not round_pending:
+                # adopt the stored cumulative drift; defer image work
+                # until a pending round actually needs the target
+                dt0, rid0 = plan.regions[0]
+                stored, _flag = store.load_spots(dt0, rid0)[1:]
+                cum = np.asarray(stored, np.float32)
+                prev_plan, prev_im = plan, None
+                continue
             pipe = self._pipeline_for(plan)
+            if prev_im is None and prev_plan is not None:
+                prev_ims = self._load_round(prev_plan, fov_name)
+                prev_im = self._pipeline_for(prev_plan).correct_reference(
+                    prev_ims)
             ims = self._load_round(plan, fov_name)
             t0 = time.perf_counter()
             if prev_im is None:
@@ -419,6 +440,7 @@ class ExperimentDriver:
             res = pipe.process_round(ims, prev_im)
             step = np.asarray(res.drift)
             prev_im = pipe.correct_reference(ims)
+            prev_plan = plan
             jax.block_until_ready((res, prev_im))
             self.timings.add("process_round", time.perf_counter() - t0,
                              folder=self._folder_key(plan.folder))

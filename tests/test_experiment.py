@@ -244,3 +244,48 @@ def test_driver_loads_correction_folder(tmp_path):
     assert drv.bleed_profile is not None
     counts = drv.process_fov("Conv_zscan_00.dax")
     assert counts["unique"] == 4
+
+
+def test_sequential_drift_partial_resume(experiment, tmp_path):
+    """Clearing one late region reprocesses only that round; the chain
+    resumes from the stored cumulative drift of the previous round
+    (reference sequential-resume semantics, corrections.py:96-140)."""
+    root, truth = experiment
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        correction=CorrectionConfig(illumination=False, hot_pixel=False),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=4, lm_iters=20),
+        num_buffer_frames=4)
+    save = str(tmp_path / "save_seqres")
+    drv = ExperimentDriver(str(root), save, cfg=cfg, sequential_drift=True)
+    drv.process_fov("Conv_zscan_00.dax")
+    path = drv.store_path("Conv_zscan_00.dax")
+    # clear one region of the LAST round
+    last_round = max(info["round"] for info in truth["regions"].values())
+    rid = next(r for r, info in truth["regions"].items()
+               if info["round"] == last_round)
+    with FovStore(path) as store:
+        i = store.region_index("unique", rid)
+        store._fh["unique"]["flags"][i] = 0
+
+    drv2 = ExperimentDriver(str(root), save, cfg=cfg,
+                            sequential_drift=True)
+    counts = drv2.process_fov("Conv_zscan_00.dax")
+    assert counts["unique"] == 1
+    # only the pending round and its predecessor were read from disk
+    loaded = [r["folder"] for r in drv2.timings.records
+              if r["stage"] == "load_dax"]
+    assert set(loaded) == {f"H{last_round - 1}R{last_round - 1}",
+                           f"H{last_round}R{last_round}"}
+    # resumed spots still land on round-0 truth
+    with FovStore(path, "r") as store:
+        info = truth["regions"][rid]
+        spots, drift, flag = store.load_spots("unique", rid)
+        np.testing.assert_allclose(drift, -truth["drifts"][last_round],
+                                   atol=0.7)
+        got = spots[:, 1:4]
+        matched = sum(np.linalg.norm(got - c, axis=1).min() < 0.7
+                      for c in info["centers"])
+        assert matched >= len(info["centers"]) * 0.8
