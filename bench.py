@@ -8,11 +8,16 @@ full per-FOV step — fused corrections (hot-pixel, z-shift, illumination),
 batched LM Gaussian fitting at 2048-spot capacity — and prints one JSON
 line; `vs_baseline` is stacks/sec/chip divided by the 2.5 per-chip target.
 
-HBM discipline (round-1 failure was RESOURCE_EXHAUSTED): exactly one FOV
-program is in flight at a time, the raw stack buffer is donated to the
-program (pipeline/fov.py donate_argnums), and each timed iteration blocks
-before the next dispatch.  A per-stage breakdown (correct / drift / fit)
-is reported in `extra` so regressions are diagnosable.
+Transfer discipline (the axon tunnel moves MBs/s, not GB/s): the synthetic
+FOV is rendered ON DEVICE from ~50 KB of uploaded spot parameters
+(synthetic.render_spots_device), so the benchmark uploads kilobytes, not
+4 x 0.5 GB stacks.  Every timed call consumes a distinct pre-rendered
+variant (fresh noise seed per variant) so no tunnel-level result caching
+can fake a timing.
+
+HBM discipline (round-1 failure was RESOURCE_EXHAUSTED): one FOV program
+in flight at a time in the latency loop; the raw stack buffer is donated
+to the program (pipeline/fov.py donate_argnums).
 """
 
 import json
@@ -20,32 +25,64 @@ import time
 
 import numpy as np
 
+SHAPE = (60, 2048, 2048)
+N_SPOTS = 1800
 
-def _stage_breakdown(pipe, raw, ref_im, n_iter=2):
-    """Median wall time per pipeline stage, seconds."""
+
+def _device_inputs(n_variants):
+    """Render ref + `n_variants` noisy FOV stacks on device; returns
+    (variants list, ref_raw, truth, illumination profile on device)."""
     import jax
     import jax.numpy as jnp
 
-    ims = jnp.asarray(raw[None])
-    corrected = pipe.correct_jit(ims)
-    jax.block_until_ready(corrected)
+    from imageanalysis3_tpu import synthetic as syn
+
+    rng = np.random.default_rng(0)
+    truth = syn.sample_spot_params(SHAPE, N_SPOTS, rng,
+                                   min_separation=8.0,
+                                   height_range=(400.0, 3000.0),
+                                   sigma_jitter=0.0)
+    base = syn.render_spots_device(SHAPE, truth["centers"],
+                                   truth["heights"],
+                                   background=truth["background"])
+    # vignetting profile computed on device (16 MB upload avoided)
+    x = jnp.linspace(-1, 1, SHAPE[1])[:, None]
+    y = jnp.linspace(-1, 1, SHAPE[2])[None, :]
+    prof = jnp.clip(1.0 - 0.35 * (x * x + y * y) / 2.0, 0.2, 1.0)
+    ref_raw = syn.noisy_uint16_device(base, seed=1, illumination=prof)
+    variants = [syn.noisy_uint16_device(base, seed=10 + k,
+                                        illumination=prof)
+                for k in range(n_variants)]
+    jax.block_until_ready((ref_raw, variants))
+    return variants, ref_raw, truth, prof
+
+
+def _stage_breakdown(pipe, variants, ref_im):
+    """Median wall time per pipeline stage, seconds.
+
+    Each timing call consumes a different variant (the tunnel caches
+    identical calls), and at most ONE corrected f32 stack is held at a
+    time (HBM discipline: three 1 GB copies OOM'd alongside the timed
+    loop's leftovers).  variants[-1] only warms each compile."""
+    import jax
+
     th = pipe.seed_thresholds
 
-    stages = {
-        "correct": lambda: pipe.correct_jit(ims),
-        "drift": lambda: pipe.drift_jit(corrected[0], ref_im),
-        "fit": lambda: pipe.fit_jit(corrected[0], th[0]),
-    }
-    out = {}
-    for name, fn in stages.items():
-        jax.block_until_ready(fn())  # compile
+    def timed(fn, inputs):
+        jax.block_until_ready(fn(inputs[-1]))      # compile/warm on spare
         ts = []
-        for _ in range(n_iter):
+        for a in inputs[:-1]:
             t0 = time.perf_counter()
-            jax.block_until_ready(fn())
+            jax.block_until_ready(fn(a))
             ts.append(time.perf_counter() - t0)
-        out[name] = round(float(np.median(ts)), 4)
-    del corrected
+        return round(float(np.median(ts)), 4)
+
+    out = {"correct": timed(lambda v: pipe.correct_jit(v[None]), variants)}
+    corrected = [pipe.correct_jit(v[None])[0] for v in variants]
+    del variants
+    jax.block_until_ready(corrected)
+    out["drift"] = timed(lambda c: pipe.drift_jit(c, ref_im), corrected)
+    out["fit"] = timed(lambda c: pipe.fit_jit(c, th[0]), corrected)
     return out
 
 
@@ -58,22 +95,11 @@ def main():
     from imageanalysis3_tpu.pipeline import FovPipeline
     from imageanalysis3_tpu import synthetic as syn
 
-    shape = (60, 2048, 2048)
-    n_spots = 1800
-    rng = np.random.default_rng(0)
-
-    # one synthetic FOV: spots + vignetting + noise, uint16
-    im, truth = syn.random_spot_field(shape, n_spots, rng,
-                                      min_separation=8.0,
-                                      height_range=(400.0, 3000.0))
-    prof = syn.illumination_profile(shape[1:])
-    raw = syn.poisson_camera_noise(im * prof[None], rng).astype(np.uint16)
-    ref_raw = syn.poisson_camera_noise(im * prof[None], rng
-                                       ).astype(np.uint16)
-    del im
+    n_iter = 4
+    variants, ref_raw, truth, prof = _device_inputs(n_iter)
 
     cfg = ExperimentConfig(
-        image_size=shape,
+        image_size=SHAPE,
         correction=CorrectionConfig(),
         seed=SeedConfig(th_seed=300.0, max_num_seeds=2048,
                         cand_capacity=16384),
@@ -81,19 +107,22 @@ def main():
     )
     pipe = FovPipeline(cfg, n_channels=1, drift_channel_index=0,
                        fit_channel_indices=(0,),
-                       illumination=prof[None].astype(np.float32),
-                       image_shape=shape)
+                       illumination=np.asarray(prof)[None],
+                       image_shape=SHAPE)
 
     ref_im = pipe.correct_reference(ref_raw[None])
     jax.block_until_ready(ref_im)
     del ref_raw
 
-    # compile once (input donated; re-upload per call)
-    res = pipe.process_round(jnp.asarray(raw[None]), ref_im)
+    # compile once on an extra rendered copy (donated input)
+    warm = syn.noisy_uint16_device(
+        syn.render_spots_device(SHAPE, truth["centers"], truth["heights"],
+                                background=truth["background"]),
+        seed=99, illumination=prof)
+    res = pipe.process_round(warm[None], ref_im)
     jax.block_until_ready(res)
 
-    # accuracy spot-check vs planted truth (before timing, so the result
-    # buffers are freed by the timed loop)
+    # accuracy spot-check vs planted truth
     spots = np.asarray(res.spots[0])
     valid = np.asarray(res.valid[0])
     got = spots[valid][:, 1:4]
@@ -106,41 +135,43 @@ def main():
     n_valid = int(valid.sum())
     del res, spots
 
-    # timed (latency): one stack in flight at a time; device upload per
-    # iteration is untimed (a real pipeline overlaps transfer with compute)
-    n_iter = 4
-    variants = [np.clip(raw.astype(np.int32) + k, 0, 65535
-                        ).astype(np.uint16)[None] for k in range(n_iter)]
+    # timed (latency): one stack in flight at a time; inputs are distinct
+    # device-resident variants (no host upload, no tunnel result caching)
     times = []
     for v in variants:
-        v_dev = jax.device_put(jnp.asarray(v))
-        jax.block_until_ready(v_dev)
         t0 = time.perf_counter()
-        out = pipe.process_round(v_dev, ref_im)
+        out = pipe.process_round(v[None], ref_im)
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-        del out, v_dev
+        del out
     dt_latency = float(np.median(times))
 
     # timed (throughput): two stacks in flight — the driver's readahead
-    # overlaps the next dispatch with the current compute (safe in HBM:
-    # per-program peak is far below half the chip since the x-slab
-    # seeding rewrite)
-    devs = [jax.device_put(jnp.asarray(v)) for v in variants]
-    jax.block_until_ready(devs)
+    variants2 = [syn.noisy_uint16_device(
+        syn.render_spots_device(SHAPE, truth["centers"], truth["heights"],
+                                background=truth["background"]),
+        seed=50 + k, illumination=prof) for k in range(n_iter)]
+    jax.block_until_ready(variants2)
     t0 = time.perf_counter()
     outs = []
-    for v_dev in devs:
-        outs.append(pipe.process_round(v_dev, ref_im))
+    for v in variants2:
+        outs.append(pipe.process_round(v[None], ref_im))
         if len(outs) > 1:
             jax.block_until_ready(outs[-2])
     jax.block_until_ready(outs)
     dt_pipe = (time.perf_counter() - t0) / n_iter
+    del outs, variants, variants2
 
     dt = min(dt_latency, dt_pipe)
     stacks_per_sec = 1.0 / dt
 
-    breakdown = _stage_breakdown(pipe, raw, ref_im)
+    # fresh variants for the stage breakdown (all prior ones were donated)
+    variants3 = [syn.noisy_uint16_device(
+        syn.render_spots_device(SHAPE, truth["centers"], truth["heights"],
+                                background=truth["background"]),
+        seed=80 + k, illumination=prof) for k in range(3)]
+    jax.block_until_ready(variants3)
+    breakdown = _stage_breakdown(pipe, variants3, ref_im)
 
     target_per_chip = 20.0 / 8.0
     out = {

@@ -5,6 +5,15 @@ from .seqint import (seq2int, seq2int_rc, seq_to_kmer_ints,
 from .design import (KmerCountTable, read_fasta, reverse_complement,
                      gc_content, melting_temperature, design_probes,
                      assemble_probes, check_probes, ProbeReport)
+from .sequences import (Gene, Transcript, read_gff3, parse_region,
+                        read_region_file, extract_region_sequence,
+                        extract_transcript_sequence,
+                        isoform_coverage_flags)
+from .readouts import (extend_readout, filter_readout, search_candidates,
+                       has_repeated_kmer, max_consecutive_run,
+                       max_shared_run, screen_readouts_by_genome,
+                       nussinov_max_pairs, screen_readouts_by_structure,
+                       split_readouts_into_channels, generate_adaptors)
 
 __all__ = [
     "seq2int", "seq2int_rc", "seq_to_kmer_ints", "count_kmers_dense",
@@ -12,4 +21,12 @@ __all__ = [
     "KmerCountTable", "read_fasta", "reverse_complement", "gc_content",
     "melting_temperature", "design_probes", "assemble_probes",
     "check_probes", "ProbeReport",
+    "Gene", "Transcript", "read_gff3", "parse_region",
+    "read_region_file", "extract_region_sequence",
+    "extract_transcript_sequence", "isoform_coverage_flags",
+    "extend_readout", "filter_readout", "search_candidates",
+    "has_repeated_kmer", "max_consecutive_run",
+    "max_shared_run", "screen_readouts_by_genome", "nussinov_max_pairs",
+    "screen_readouts_by_structure", "split_readouts_into_channels",
+    "generate_adaptors",
 ]

@@ -133,6 +133,8 @@ class ProbeCandidate:
     max_offtarget: int
     mean_offtarget: float
     score: float
+    max_repeat: int = 0
+    masked_fraction: float = 0.0
 
 
 @dataclass
@@ -155,6 +157,9 @@ def design_probes(region_seq: str,
                   max_homopolymer: int = 6,
                   offtarget_table: Optional[KmerCountTable] = None,
                   max_offtarget_hits: int = 10,
+                  repeat_table: Optional[KmerCountTable] = None,
+                  max_repeat_hits: int = 0,
+                  max_masked_fraction: Optional[float] = None,
                   min_spacing: int = 2,
                   region_name: str = "") -> ProbeReport:
     """Sliding-window probe design with greedy non-overlapping selection.
@@ -164,13 +169,24 @@ def design_probes(region_seq: str,
     candidate screened by GC / Tm / homopolymer / off-target-map hits;
     survivors are ranked (fewest off-targets, then most central GC) and
     picked greedily with `min_spacing` between probe ends.
+
+    Repeat awareness (reference rep_map screening, design.py:270-500):
+    ``repeat_table`` rejects probes carrying any repeat-library k-mer more
+    than `max_repeat_hits` times, and ``max_masked_fraction`` bounds the
+    fraction of soft-masked (lowercase) bases in the *input* sequence per
+    probe window — pass the region sequence un-uppercased to use it.
     """
+    raw = region_seq
     seq = region_seq.upper()
     n = len(seq)
+    lower_mask = np.frombuffer(raw.encode(), np.uint8) >= ord("a")
     cands: List[ProbeCandidate] = []
     ot_counts = None
     if offtarget_table is not None and n >= offtarget_table.word:
         ot_counts = offtarget_table.count_sequence(seq)
+    rep_counts = None
+    if repeat_table is not None and n >= repeat_table.word:
+        rep_counts = repeat_table.count_sequence(seq)
     for start in range(0, n - probe_len + 1):
         sub = seq[start:start + probe_len]
         if "N" in sub:
@@ -183,6 +199,17 @@ def design_probes(region_seq: str,
             continue
         if max_homopolymer_run(sub) > max_homopolymer:
             continue
+        masked = float(lower_mask[start:start + probe_len].mean())
+        if max_masked_fraction is not None \
+                and masked > max_masked_fraction:
+            continue
+        max_rep = 0
+        if rep_counts is not None:
+            w = repeat_table.word
+            window = rep_counts[start:start + probe_len - w + 1]
+            max_rep = int(window.max()) if len(window) else 0
+            if max_rep > max_repeat_hits:
+                continue
         if ot_counts is not None:
             w = offtarget_table.word
             window = ot_counts[start:start + probe_len - w + 1]
@@ -194,7 +221,7 @@ def design_probes(region_seq: str,
             max_ot, mean_ot = 0, 0.0
         score = -mean_ot - 2.0 * abs(gc - 0.5)
         cands.append(ProbeCandidate(start, sub, gc, tm, max_ot, mean_ot,
-                                    score))
+                                    score, max_rep, masked))
     # greedy non-overlapping pick, best score first
     cands.sort(key=lambda c: -c.score)
     picked: List[ProbeCandidate] = []

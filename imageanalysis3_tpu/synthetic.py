@@ -54,17 +54,17 @@ def poisson_camera_noise(im: np.ndarray, rng: np.random.Generator,
     return np.clip(noisy, 0, 65535)
 
 
-def random_spot_field(shape: Tuple[int, int, int],
-                      n_spots: int,
-                      rng: np.random.Generator,
-                      height_range: Tuple[float, float] = (300.0, 3000.0),
-                      sigma_zxy: Tuple[float, float, float] = (1.35, 1.9, 1.9),
-                      sigma_jitter: float = 0.15,
-                      background: float = 150.0,
-                      min_separation: float = 0.0,
-                      edge_margin: float = 8.0,
-                      ) -> Tuple[np.ndarray, dict]:
-    """A stack with `n_spots` random Gaussians; returns (image, truth dict)."""
+def sample_spot_params(shape: Tuple[int, int, int],
+                       n_spots: int,
+                       rng: np.random.Generator,
+                       height_range: Tuple[float, float] = (300.0, 3000.0),
+                       sigma_zxy: Tuple[float, float, float] = (1.35, 1.9,
+                                                               1.9),
+                       sigma_jitter: float = 0.15,
+                       background: float = 150.0,
+                       min_separation: float = 0.0,
+                       edge_margin: float = 8.0) -> dict:
+    """Sample a random spot field's ground-truth parameters (no render)."""
     shape = tuple(int(s) for s in shape)
     margin = np.minimum(np.full(3, float(edge_margin)),
                         np.array(shape) / 3.0)
@@ -84,10 +84,21 @@ def random_spot_field(shape: Tuple[int, int, int],
     n = len(centers)
     heights = rng.uniform(*height_range, size=n)
     sigmas = np.array(sigma_zxy) * (1 + rng.uniform(-sigma_jitter,
-                                                    sigma_jitter, size=(n, 3)))
-    im = render_gaussian_spots(shape, centers, heights, sigmas, background)
-    truth = {"centers": centers, "heights": heights, "sigmas": sigmas,
-             "background": background}
+                                                    sigma_jitter,
+                                                    size=(n, 3)))
+    return {"centers": centers, "heights": heights, "sigmas": sigmas,
+            "background": background}
+
+
+def random_spot_field(shape: Tuple[int, int, int],
+                      n_spots: int,
+                      rng: np.random.Generator,
+                      **kwargs) -> Tuple[np.ndarray, dict]:
+    """A stack with `n_spots` random Gaussians; returns (image, truth dict)."""
+    truth = sample_spot_params(shape, n_spots, rng, **kwargs)
+    im = render_gaussian_spots(tuple(int(s) for s in shape),
+                               truth["centers"], truth["heights"],
+                               truth["sigmas"], truth["background"])
     return im, truth
 
 
@@ -365,3 +376,88 @@ def make_synthetic_fov(shape=(16, 256, 256), n_rounds=3, n_channels=2,
                           "heights": t["heights"], "sigmas": t["sigmas"]})
     return SyntheticFov(ims=ims, truth=truth, drifts=drifts,
                         illumination=prof, bleed=None)
+
+
+# ---------------------------------------------------------------------------
+# Device-side rendering (for benchmarks: upload KBs of truth, not GB stacks)
+# ---------------------------------------------------------------------------
+
+
+def render_spots_device(shape: Tuple[int, int, int],
+                        centers, heights,
+                        sigma_zxy: Tuple[float, float, float] = (1.35, 1.9,
+                                                                 1.9),
+                        background: float = 120.0):
+    """Render Gaussian spots fully on-device via splat + blur.
+
+    The device twin of :func:`render_gaussian_spots` for benchmark inputs:
+    each spot trilinearly splats its mass onto its 8 corner voxels (N x 8
+    scatter-adds — large dense window scatters are pathological on TPU),
+    then one separable Gaussian blur shapes every spot at once.  The
+    trilinear kernel is symmetric about the subpixel center, so spot
+    *centroids* are exact; widths come out as sqrt(sigma^2 + 1/6) (the
+    hat kernel's variance) — immaterial for centroid-accuracy checks.
+    One shared ``sigma_zxy`` for all spots.  Only KBs of spot parameters
+    cross the host-device boundary (which may be a slow tunnel).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from .ops.filters import gaussian_filter
+
+    @partial(jax.jit, static_argnames=("shp", "sig"))
+    def _render(shp, cen, hts, bk, sig):
+        z0 = jnp.floor(cen).astype(jnp.int32)                # (N, 3)
+        frac = cen - z0.astype(jnp.float32)
+        # spot mass so the blurred peak equals `height`
+        mass = hts * float(np.prod([np.sqrt(2 * np.pi) * s
+                                    for s in sig]))
+        flat = jnp.zeros(shp[0] * shp[1] * shp[2], jnp.float32)
+        dims = jnp.asarray(shp, jnp.int32)
+        for dz in (0, 1):
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    corner = z0 + jnp.asarray([dz, dx, dy], jnp.int32)
+                    w = (jnp.where(dz, frac[:, 0], 1 - frac[:, 0])
+                         * jnp.where(dx, frac[:, 1], 1 - frac[:, 1])
+                         * jnp.where(dy, frac[:, 2], 1 - frac[:, 2]))
+                    inb = jnp.all((corner >= 0) & (corner < dims[None]),
+                                  axis=-1)
+                    cp = jnp.clip(corner, 0, dims[None] - 1)
+                    idx = (cp[:, 0] * shp[1] + cp[:, 1]) * shp[2] \
+                        + cp[:, 2]
+                    flat = flat.at[idx].add(jnp.where(inb, w * mass, 0.0))
+        im = gaussian_filter(flat.reshape(shp), sig)
+        return im + bk
+
+    return _render(tuple(int(s) for s in shape),
+                   jnp.asarray(centers, jnp.float32),
+                   jnp.asarray(heights, jnp.float32),
+                   jnp.float32(background),
+                   tuple(float(s) for s in sigma_zxy))
+
+
+def noisy_uint16_device(im, seed: int, read_noise: float = 2.0,
+                        illumination=None):
+    """Shot + read noise + optional vignetting, on-device, uint16-clipped
+    (device twin of :func:`poisson_camera_noise`)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+
+    @jax.jit
+    def _noise(im, prof):
+        out = im if prof is None else im * prof[None]
+        lam = jnp.maximum(out, 0.0)
+        # Gaussian approximation to Poisson at camera intensities
+        # (lam >= ~100 everywhere once background is included)
+        shot = lam + jnp.sqrt(lam) * jax.random.normal(k1, im.shape)
+        shot = shot + read_noise * jax.random.normal(k2, im.shape)
+        return jnp.clip(shot, 0, 65535).astype(jnp.uint16)
+
+    prof = None if illumination is None else jnp.asarray(
+        illumination, jnp.float32)
+    return _noise(jnp.asarray(im), prof)

@@ -90,3 +90,168 @@ def test_assemble_and_check():
     keep = LB.check_probes(["ACGT" * 10, "AAAAAAAAAA" + "ACGT" * 8])
     assert keep[0]
     assert not keep[1]          # homopolymer run
+
+
+# ---------------------------------------------------------------------------
+# Sequence/annotation readers (reference library_tools/{references,sequences})
+# ---------------------------------------------------------------------------
+
+
+def _toy_annotation(tmp_path):
+    gff = tmp_path / "toy.gff3"
+    gff.write_text("\n".join([
+        "##gff-version 3",
+        "##sequence-region chr1 1 2000",
+        "chr1\tens\tgene\t101\t400\t.\t+\t.\tID=gene:G1;Name=MYGENE;"
+        "biotype=protein_coding",
+        "chr1\tens\tmRNA\t101\t400\t.\t+\t.\tID=transcript:T1;"
+        "Parent=gene:G1",
+        "chr1\tens\texon\t101\t160\t.\t+\t.\tParent=transcript:T1",
+        "chr1\tens\texon\t201\t260\t.\t+\t.\tParent=transcript:T1",
+        "chr1\tens\tmRNA\t101\t400\t.\t+\t.\tID=transcript:T2;"
+        "Parent=gene:G1",
+        "chr1\tens\texon\t101\t160\t.\t+\t.\tParent=transcript:T2",
+        "chr1\tens\texon\t301\t400\t.\t+\t.\tParent=transcript:T2",
+        "chr1\tens\tgene\t501\t700\t.\t-\t.\tID=gene:G2;Name=REVGENE",
+        "chr1\tens\tmRNA\t501\t700\t.\t-\t.\tID=transcript:T3;"
+        "Parent=gene:G2",
+        "chr1\tens\texon\t501\t550\t.\t-\t.\tParent=transcript:T3",
+        "chr1\tens\texon\t601\t700\t.\t-\t.\tParent=transcript:T3",
+        "", ]))
+    rng = np.random.default_rng(0)
+    genome = {"chr1": "".join(rng.choice(list("ACGT"), 2000))}
+    return str(gff), genome
+
+
+def test_gff3_transcript_extraction(tmp_path):
+    gff, genome = _toy_annotation(tmp_path)
+    genes = LB.read_gff3(gff)
+    assert set(genes) == {"G1", "G2"}
+    g1 = genes["G1"]
+    assert g1.name == "MYGENE" and g1.biotype == "protein_coding"
+    assert set(g1.transcripts) == {"T1", "T2"}
+    t1 = g1.transcripts["T1"]
+    assert t1.exons == [(101, 160), (201, 260)]
+    assert t1.length == 120
+    seq = LB.extract_transcript_sequence(genome, t1)
+    assert seq == genome["chr1"][100:160] + genome["chr1"][200:260]
+    # '-' strand transcript: exons spliced then reverse-complemented
+    t3 = genes["G2"].transcripts["T3"]
+    seq3 = LB.extract_transcript_sequence(genome, t3)
+    want = LB.reverse_complement(
+        genome["chr1"][500:550] + genome["chr1"][600:700])
+    assert seq3 == want
+
+
+def test_isoform_coverage_flags(tmp_path):
+    gff, _ = _toy_annotation(tmp_path)
+    g1 = LB.read_gff3(gff)["G1"]
+    flags, n_iso = LB.isoform_coverage_flags(g1)
+    assert n_iso == 2
+    assert flags[0] == 2                      # shared first exon
+    assert flags[201 - 101] == 1              # T1-only exon
+    assert flags[301 - 101] == 1              # T2-only exon
+    assert flags[170 - 101] == 0              # intron in both
+
+
+def test_parse_region_and_extraction():
+    rec = LB.parse_region("chr21:28,212,120-28,268,614")
+    assert rec == {"chr": "chr21", "start": 28212120, "end": 28268614}
+    genome = {"chr2": "ACGTACGTAA"}
+    assert LB.extract_region_sequence(genome, "chr2", 2, 5) == "CGTA"
+    assert LB.extract_region_sequence(genome, "2", 2, 5, "-") == "TACG"
+
+
+# ---------------------------------------------------------------------------
+# Readout screens (reference library_tools/readouts.py)
+# ---------------------------------------------------------------------------
+
+
+def test_filter_readout_rules():
+    # balanced 30-mer that passes every screen
+    good = "TCGATCAGTACGATCGTAGCTAGCATGTCA"
+    assert LB.filter_readout(good)
+    # GC out of window
+    assert not LB.filter_readout("A" * 15 + "T" * 15)
+    # 4-base homorun
+    assert not LB.filter_readout("TCGATCAGTAAAATCGTAGCTAGCATGTCA")
+    # repeated internal 6-mer
+    rep = "TCGATCAGTCGATCAGTACGTACGATGTCA"[:30]
+    assert LB.has_repeated_kmer("ABCDEFABCDEF", 6)
+    # C fraction clamp in first 12 bases
+    assert not LB.filter_readout("TCCACCTCCGTACGATGATCGTAGCATGTA")
+    # similarity to an existing readout (shared 12-run)
+    shared = good[:12] + "GATCATGCAGTCATGCAG"[:18]
+    assert not LB.filter_readout(shared, existing=[good], max_shared=10)
+    # reverse-complement similarity also counts
+    rc_hit = LB.reverse_complement(good[5:25])
+    assert LB.max_shared_run(rc_hit, [good]) >= 20
+
+
+def test_extend_and_search_candidates():
+    rng = np.random.default_rng(3)
+    out = LB.extend_readout("ACGTACGTACG", target_len=30, rng=rng)
+    assert len(out) == 30 and out.endswith("ACGTACGTACG")
+    assert out[0] in "AT" or out[-12] in "AT"
+    # search: grow a mutually-dissimilar set from random pool
+    pool = ["".join(rng.choice(list("ACGT"), 30)) for _ in range(400)]
+    got = LB.search_candidates(pool, total_cand=5, max_shared=12)
+    assert len(got) == 5
+    for i, a in enumerate(got):
+        for b in got[i + 1:]:
+            assert LB.max_shared_run(a, [b]) <= 12
+
+
+def test_genome_and_structure_screens():
+    rng = np.random.default_rng(4)
+    genome_seq = "".join(rng.choice(list("ACGT"), 4000))
+    table = LB.KmerCountTable(word=12)
+    table.consume(genome_seq)
+    hot = genome_seq[100:130]                 # embedded in the genome
+    cold = "".join(rng.choice(list("ACGT"), 30))
+    keep = LB.screen_readouts_by_genome([hot, cold], table, max_hits=0)
+    assert not keep[0]
+    assert keep[1] or table.count_sequence(cold).max() > 0
+    # structure: a perfect hairpin folds; a homopolymer-free random seq
+    stem = "GCGCGCGCGC"
+    hairpin = stem + "TTTT" + LB.reverse_complement(stem)
+    assert LB.nussinov_max_pairs(hairpin) >= len(stem)
+    keep2 = LB.screen_readouts_by_structure([hairpin, "ACTGAT" * 5],
+                                            max_pair_fraction=0.5)
+    assert not keep2[0]
+
+
+def test_adaptors_and_channels():
+    reads = ["ACGTACGTAC", "TGCATGCATG", "GGATCCGGAT"]
+    ch = LB.split_readouts_into_channels(reads, num_channels=2)
+    assert ch[0] == [reads[0], reads[2]] and ch[1] == [reads[1]]
+    ad = LB.generate_adaptors(reads[:2], ["TTTTT", "AAAAA"])
+    assert ad[0] == reads[0] + "AAAAA" * 2
+    assert ad[1] == reads[1] + "TTTTT" * 2
+
+
+def test_repeat_masked_probe_design():
+    """Repeat-library k-mers and soft-masked windows are rejected
+    (reference rep_map screening, library_tools/design.py:270-500)."""
+    rng = np.random.default_rng(5)
+    repeat = "".join(rng.choice(list("ACGT"), 60))
+    clean_a = "".join(rng.choice(list("ACGT"), 150))
+    clean_b = "".join(rng.choice(list("ACGT"), 150))
+    region = clean_a + repeat + clean_b
+    rep_table = LB.KmerCountTable(word=12)
+    rep_table.consume(repeat)
+    rep_free = LB.design_probes(region, probe_len=40, n_probes=20,
+                                gc_range=(0.0, 1.0), tm_range=(0, 200),
+                                repeat_table=rep_table, max_repeat_hits=0)
+    for p in rep_free.probes:
+        # no selected probe overlaps the repeat k-mers
+        assert p.max_repeat == 0
+        assert not (p.start + 40 > len(clean_a) + 11
+                    and p.start < len(clean_a) + 60 - 11)
+    # soft-mask screen: lowercase block excluded
+    masked_region = clean_a + repeat.lower() + clean_b
+    masked = LB.design_probes(masked_region, probe_len=40, n_probes=20,
+                              gc_range=(0.0, 1.0), tm_range=(0, 200),
+                              max_masked_fraction=0.2)
+    for p in masked.probes:
+        assert p.masked_fraction <= 0.2
