@@ -126,8 +126,11 @@ class FitConfig:
     min_delta_center: float = 1.0    # firstfit center box half-width
     max_delta_center: float = 2.5    # repeatfit center box half-width
     max_dist_th: float = 0.1         # convergence: center moved < 0.1 px
-    n_max_iter: int = 10             # repeatfit rounds
-    lm_iters: int = 30               # inner LM iterations per fit
+    # repeatfit rounds / inner LM iterations: measured on the bench scene
+    # (1800 spots, 60x2048x2048) these converge identically to the old
+    # (10, 30) by (3, 10); (6, 20) keeps margin for crowded fields
+    n_max_iter: int = 6
+    lm_iters: int = 20
     max_neighbors: int = 12          # capacity of interacting-spot lists
 
 

@@ -166,3 +166,169 @@ def level_stencil_pallas(max_im: jnp.ndarray, min_im: jnp.ndarray,
     counts = jnp.stack([jnp.sum((level == k).astype(jnp.int32))
                         for k in range(n_lvl)])
     return level, diff, counts
+
+
+# ---------------------------------------------------------------------------
+# Fused dual-Gaussian x+y blur (the seeding hot path's real bandwidth sink)
+# ---------------------------------------------------------------------------
+
+
+def _xy_weights(kernel: np.ndarray, pad: int):
+    """(WL, WR) (128, 128) lane-contraction matrices for one y-pass.
+
+    Output lane c of block b reads padded lanes [128b + c + pad - r,
+    ... + pad + r]; with `pad` >= r those indices live in blocks b and
+    b+1, independent of b, so two shared (128, 128) matrices express the
+    whole banded convolution (boundary values are pre-baked by symmetric
+    padding)."""
+    k = len(kernel)
+    r = k // 2
+    wl = np.zeros((128, 128), np.float32)
+    wr = np.zeros((128, 128), np.float32)
+    for c in range(128):
+        for t in range(k):
+            p = c + pad - r + t
+            if p < 128:
+                wl[p, c] += kernel[t]
+            elif p < 256:
+                wr[p - 128, c] += kernel[t]
+    return wl, wr
+
+
+def _x_weights(kernel: np.ndarray, bx: int, pad: int) -> np.ndarray:
+    """(BX, BX + 2*pad) sublane-contraction matrix for one x-pass."""
+    k = len(kernel)
+    r = k // 2
+    a = np.zeros((bx, bx + 2 * pad), np.float32)
+    for row in range(bx):
+        for t in range(k):
+            a[row, row + pad - r + t] += kernel[t]
+    return a
+
+
+def _dual_blur_kernel(a7_ref, a61_ref, wl7_ref, wr7_ref, wl61_ref,
+                      wr61_ref, fg_hbm, bg_hbm, fg_out, bg_out,
+                      fgv, bgv, sem):
+    """One (z, x-block): x-pass as an (BX, BX+64) sublane matmul, y-pass
+    as two shared (128, 128) lane matmuls per source — all MXU work over
+    VMEM-resident tiles."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    bxw, yp = fgv.shape                    # (BX + 64, Y + 128)
+    bx = bxw - 64
+    nb = (yp - 128) // 128
+
+    cp1 = pltpu.make_async_copy(
+        fg_hbm.at[i, pl.ds(j * bx, bxw), :], fgv, sem.at[0])
+    cp2 = pltpu.make_async_copy(
+        bg_hbm.at[i, pl.ds(j * bx, bxw), :], bgv, sem.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    def pass_xy(v, a_ref, wl_ref, wr_ref):
+        # explicit f32 precision: Mosaic dots default to bf16 inputs,
+        # which costs ~0.25% on the weights — outside blur tolerance
+        # (Mosaic supports only DEFAULT and HIGHEST)
+        hi = jax.lax.Precision.HIGHEST
+        fx = jnp.dot(a_ref[:], v[:], precision=hi,
+                     preferred_element_type=jnp.float32)      # (BX, YP)
+        fb = fx.reshape(bx, nb + 1, 128)
+        left = fb[:, :nb].reshape(bx * nb, 128)
+        right = fb[:, 1:].reshape(bx * nb, 128)
+        out = (jnp.dot(left, wl_ref[:], precision=hi,
+                       preferred_element_type=jnp.float32)
+               + jnp.dot(right, wr_ref[:], precision=hi,
+                         preferred_element_type=jnp.float32))
+        return out.reshape(bx, nb * 128)
+
+    fg_out[0] = pass_xy(fgv[:], a7_ref, wl7_ref, wr7_ref)
+    bg_out[0] = pass_xy(bgv[:], a61_ref, wl61_ref, wr61_ref)
+
+
+@partial(jax.jit, static_argnames=("k7_key", "k61_key", "block_x",
+                                   "interpret"))
+def dual_blur_xy_pallas(fgz: jnp.ndarray, bgz: jnp.ndarray,
+                        k7_key: Tuple[float, ...],
+                        k61_key: Tuple[float, ...],
+                        block_x: int = 128,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x+y Gaussian passes for TWO stacks in one fused kernel.
+
+    fgz / bgz: the z-passed foreground/background stacks (Z, X, Y);
+    k7_key / k61_key: their 1D kernels (radius <= 32 for x, <= 64 for y).
+    Returns (k7-xy-blurred fgz, k61-xy-blurred bgz) with scipy
+    mode='reflect' boundary semantics (symmetric padding is applied here,
+    so the in-kernel convolution needs no boundary branches).
+
+    Why: the unfused XLA form moves each 1 GB stack through HBM ~3x per
+    axis per kernel (~100 ms of the 165 ms seeding pass at 60x2048x2048);
+    this kernel reads each stack ~1.5x and writes once, doing all tap
+    arithmetic as small MXU matmuls on VMEM tiles.
+    """
+    z, x, y = fgz.shape
+    assert x % block_x == 0 and y % 128 == 0
+    k7 = np.asarray(k7_key, np.float32)
+    k61 = np.asarray(k61_key, np.float32)
+    assert len(k7) // 2 <= 32 and len(k61) // 2 <= 32, \
+        "x padding (32) must cover the kernel radius"
+    assert len(k7) // 2 <= 64 and len(k61) // 2 <= 64
+
+    pad = ((0, 0), (32, 32), (64, 64))
+    fgp = jnp.pad(fgz.astype(jnp.float32), pad, mode="symmetric")
+    bgp = jnp.pad(bgz.astype(jnp.float32), pad, mode="symmetric")
+
+    a7 = jnp.asarray(_x_weights(k7, block_x, 32))
+    a61 = jnp.asarray(_x_weights(k61, block_x, 32))
+    wl7, wr7 = map(jnp.asarray, _xy_weights(k7, 64))
+    wl61, wr61 = map(jnp.asarray, _xy_weights(k61, 64))
+
+    gx = x // block_x
+    fg, bg = pl.pallas_call(
+        _dual_blur_kernel,
+        grid=(z, gx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 0 + [
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # a7
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # a61
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wl7
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wr7
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wl61
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wr61
+            pl.BlockSpec(memory_space=pltpu.ANY),    # fgp
+            pl.BlockSpec(memory_space=pltpu.ANY),    # bgp
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_x, y), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_x, y), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, x, y), jnp.float32),
+            jax.ShapeDtypeStruct((z, x, y), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_x + 64, y + 128), jnp.float32),
+            pltpu.VMEM((block_x + 64, y + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(a7, a61, wl7, wr7, wl61, wr61, fgp, bgp)
+    return fg, bg
+
+
+def dual_gaussian_blur(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
+                       interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(gaussian(im, sigma_fg), gaussian(im, sigma_bg)) via z-axis banded
+    matmuls + the fused Pallas x/y kernel.  Exact scipy 'reflect' parity
+    (same discrete kernels as ops.filters.gaussian_filter)."""
+    from .filters import gaussian_kernel1d, _conv1d_along_axis
+
+    k_fg = gaussian_kernel1d(sigma_fg)
+    k_bg = gaussian_kernel1d(sigma_bg)
+    imf = im.astype(jnp.float32)
+    fgz = _conv1d_along_axis(imf, k_fg, 0, "reflect")
+    bgz = _conv1d_along_axis(imf, k_bg, 0, "reflect")
+    return dual_blur_xy_pallas(fgz, bgz, tuple(k_fg.tolist()),
+                               tuple(k_bg.tolist()), interpret=interpret)

@@ -58,12 +58,31 @@ def _level_diff_hist(tile: jnp.ndarray, th_seed, x0, core_x: int,
     (int8; n_lvl = disqualified), its signal heights (f32), and the
     per-level histogram of qualifying pixels.
     """
-    halo = (tile.shape[1] - core_x) // 2
     max_im = gaussian_filter(tile, gfilt_size) if gfilt_size else tile
-    max_ft = maximum_filter(max_im, filt_size) == max_im
     min_im = (gaussian_filter(tile, background_gfilt_size)
               if background_gfilt_size else tile)
-    min_ft = minimum_filter(min_im, filt_size) != min_im
+    return _classify_from_blurs(max_im, min_im, th_seed, x0, core_x,
+                                full_shape, filt_size, min_edge_distance,
+                                n_lvl)
+
+
+def _classify_from_blurs(max_im, min_im, th_seed, x0, core_x: int,
+                         full_shape, filt_size: int,
+                         min_edge_distance: int, n_lvl: int):
+    """Stencil + threshold-level classification given the two blurred
+    stacks (the post-blur half of `_level_diff_hist`)."""
+    from .filters import _window_reduce_interior
+
+    halo = (max_im.shape[1] - core_x) // 2
+    if min_edge_distance >= 1:
+        # qualification is discarded within min_edge_distance of every
+        # border, so the init-padded reduce_window (no materialized pad
+        # copies) is exact where it matters
+        max_ft = _window_reduce_interior(max_im, filt_size, "max") == max_im
+        min_ft = _window_reduce_interior(min_im, filt_size, "min") != min_im
+    else:
+        max_ft = maximum_filter(max_im, filt_size) == max_im
+        min_ft = minimum_filter(min_im, filt_size) != min_im
     local_max = max_ft & min_ft
     diff = max_im - min_im
     if halo:
@@ -139,7 +158,26 @@ def get_seeds(im: jnp.ndarray,
     args = (th_seed, gfilt_size, background_gfilt_size, filt_size,
             min_edge_distance, n_lvl)
 
-    if shape[1] > 2 * slab_x and shape[1] % slab_x == 0:
+    # fused Pallas dual-blur fast path (TPU, aligned shapes, both blurs
+    # within the kernel's padding reach): the x+y passes of both
+    # gaussians run in one kernel — the dominant seeding cost otherwise
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and shape[1] <= 2 * slab_x
+        and gfilt_size and background_gfilt_size
+        and shape[1] % 64 == 0 and shape[2] % 128 == 0
+        and _radius(gfilt_size) <= 32
+        and _radius(background_gfilt_size) <= 32)
+
+    if use_pallas:
+        from .pallas_kernels import dual_gaussian_blur
+
+        max_im, min_im = dual_gaussian_blur(imf, gfilt_size,
+                                            background_gfilt_size)
+        level, diff, counts = _classify_from_blurs(
+            max_im, min_im, th_seed, 0, shape[1], shape, filt_size,
+            min_edge_distance, n_lvl)
+    elif shape[1] > 2 * slab_x and shape[1] % slab_x == 0:
         n_slab = shape[1] // slab_x
         padded = jnp.pad(imf, ((0, 0), (halo, halo), (0, 0)),
                          mode="symmetric")

@@ -37,3 +37,26 @@ def test_level_stencil_matches_unfused():
     np.testing.assert_allclose(np.asarray(diff), d_ref, rtol=1e-6)
     want_counts = [int((lvl_ref == k).sum()) for k in range(10)]
     np.testing.assert_array_equal(np.asarray(counts), want_counts)
+
+
+def test_dual_gaussian_blur_parity_interpret():
+    """Fused dual-blur kernel (interpret mode) matches the XLA
+    gaussian_filter to float32 tolerance, reflect boundaries included."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from imageanalysis3_tpu.ops.filters import gaussian_filter
+    from imageanalysis3_tpu.ops.pallas_kernels import dual_gaussian_blur
+
+    rng = np.random.default_rng(0)
+    im = rng.uniform(0, 1000, (4, 128, 256)).astype(np.float32)
+    fg, bg = dual_gaussian_blur(jnp.asarray(im), 0.75, 7.5,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(fg),
+                               np.asarray(gaussian_filter(
+                                   jnp.asarray(im), 0.75)),
+                               rtol=2e-5, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(bg),
+                               np.asarray(gaussian_filter(
+                                   jnp.asarray(im), 7.5)),
+                               rtol=2e-5, atol=2e-2)
