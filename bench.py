@@ -110,7 +110,7 @@ def main():
                        illumination=np.asarray(prof)[None],
                        image_shape=SHAPE)
 
-    ref_im = pipe.correct_reference(ref_raw[None])
+    ref_im = pipe.prepare_reference(pipe.correct_reference(ref_raw[None]))
     jax.block_until_ready(ref_im)
     del ref_raw
 

@@ -5,6 +5,11 @@ ONE chip streaming 50 hybridization rounds (30 x 1024 x 1024 per channel,
 one data + one bead channel) through the compiled per-round program with
 readahead, then EM-picking the 50-region chromosome trace.  Prints one
 JSON line.  Not the driver's headline bench (see bench.py).
+
+Transfer discipline: all 50 round stacks render ON DEVICE from KBs of
+spot parameters (synthetic.render_spots_device) — host rendering plus
+6 GB of uploads through the axon tunnel would dominate the setup wall
+clock by an hour without changing what is measured.
 """
 
 import json
@@ -27,19 +32,14 @@ def main():
     n_rounds = 50
     rng = np.random.default_rng(0)
 
-    # one bead field shared across rounds; per-round unique data channel;
-    # 5 unique noise realizations cycled with integer drifts (host Poisson
-    # at full scale x50 would dominate the wall clock without adding truth)
-    _, bead_truth = syn.random_spot_field(shape, 40, rng,
-                                          min_separation=14.0,
-                                          height_range=(2000.0, 5000.0))
-    bead_im = syn.render_gaussian_spots(
-        shape, bead_truth["centers"], bead_truth["heights"],
-        bead_truth["sigmas"], background=120.0)
-    base_noisy = [syn.poisson_camera_noise(bead_im, rng) for _ in range(5)]
+    # one bead field shared across rounds (drifted per round); one walking
+    # chromosome-trace spot per round in the data channel
+    bead_truth = syn.sample_spot_params(shape, 40, rng,
+                                        min_separation=14.0,
+                                        height_range=(2000.0, 5000.0),
+                                        sigma_jitter=0.0)
     steps = rng.normal(0, 1.0, (n_rounds, 3)) * np.array([1.0, 6.0, 6.0])
     trace_truth = np.array([15.0, 512, 512]) + np.cumsum(steps, axis=0)
-    # keep the walk inside the imaged volume
     trace_truth[:, 0] = np.clip(trace_truth[:, 0], 6, 24)
     trace_truth[:, 1:] = np.clip(trace_truth[:, 1:], 100, 924)
     drifts = np.vstack([np.zeros(3),
@@ -56,24 +56,26 @@ def main():
                        fit_channel_indices=(0,), image_shape=shape)
 
     def round_stack(r):
-        d = drifts[r].astype(int)
-        bead = np.roll(base_noisy[r % 5], tuple(d), axis=(0, 1, 2))
-        spot_im = syn.render_gaussian_spots(
+        d = drifts[r]
+        bead = syn.render_spots_device(
+            shape, bead_truth["centers"] + d, bead_truth["heights"],
+            background=120.0)
+        bead = syn.noisy_uint16_device(bead, seed=1000 + r)
+        data = syn.render_spots_device(
             shape, trace_truth[r:r + 1] + d, np.array([2500.0]),
-            np.array([[1.3, 1.8, 1.8]]), background=150.0)
-        data = np.clip(spot_im + rng.normal(0, 12, shape), 0, 65535)
-        return np.stack([data, bead]).astype(np.uint16)
+            background=150.0)
+        data = syn.noisy_uint16_device(data, seed=2000 + r,
+                                       read_noise=12.0)
+        return jnp.stack([data, bead])
 
     ref = round_stack(0)
-    ref_im = pipe.correct_reference(ref)
-    res0 = pipe.process_round(jnp.asarray(ref), ref_im)   # compile
+    ref_im = pipe.prepare_reference(pipe.correct_reference(ref))
+    res0 = pipe.process_round(ref, ref_im)   # compile (donates ref)
     jax.block_until_ready((ref_im, res0))
 
-    # pre-stage device inputs: the axon tunnel moves ~30 MB/s, which would
-    # turn the measurement into a transfer benchmark (a real TPU host's
-    # PCIe prefetch overlaps transparently with compute)
-    stacks = [jax.device_put(jnp.asarray(round_stack(r)))
-              for r in range(n_rounds)]
+    # pre-stage device inputs (a real TPU host's PCIe prefetch overlaps
+    # transparently with compute; the tunnel cannot)
+    stacks = [round_stack(r) for r in range(n_rounds)]
     jax.block_until_ready(stacks)
 
     # one-round readahead, retaining every round's result

@@ -117,30 +117,66 @@ def subpixel_phase_correlation(ref: jnp.ndarray, mov: jnp.ndarray,
     64-px crops, 1.1 px shift): plain correlation errs up to 0.67 px;
     mean-sub + hann_xy brings the median error under 0.03 px.
     """
-    ref = ref.astype(jnp.float32)
-    mov = mov.astype(jnp.float32)
-    if subtract_mean:
-        ref = ref - jnp.mean(ref)
-        mov = mov - jnp.mean(mov)
-    if window is not None:
-        axes = (tuple(range(ref.ndim))[-2:] if window == "hann_xy"
-                else tuple(range(ref.ndim)))
-        for ax in axes:
-            n = ref.shape[ax]
-            h = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n) / (n - 1))
-            shape_b = [1] * ref.ndim
-            shape_b[ax] = n
-            hb = h.reshape(shape_b).astype(jnp.float32)
-            ref = ref * hb
-            mov = mov * hb
-    # real inputs: rFFTs + a real inverse halve the FFT cost, and the
-    # Hermitian half-spectrum feeds the refinement directly
-    F_ref = jnp.fft.rfftn(ref)
+    mov = _condition_view(mov, subtract_mean, window)
     F_mov = jnp.fft.rfftn(mov)
+    return _phase_correlate_spectrum(
+        prepare_ref_spectrum(ref, subtract_mean=subtract_mean,
+                             window=window),
+        F_mov, mov.shape, upsample_factor, normalization, stages)
+
+
+def _condition_view(x: jnp.ndarray, subtract_mean: bool,
+                    window: Optional[str]) -> jnp.ndarray:
+    x = x.astype(jnp.float32)
+    if subtract_mean:
+        x = x - jnp.mean(x)
+    if window is not None:
+        axes = (tuple(range(x.ndim))[-2:] if window == "hann_xy"
+                else tuple(range(x.ndim)))
+        for ax in axes:
+            n = x.shape[ax]
+            h = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(n) / (n - 1))
+            shape_b = [1] * x.ndim
+            shape_b[ax] = n
+            x = x * h.reshape(shape_b).astype(jnp.float32)
+    return x
+
+
+@partial(jax.jit, static_argnames=("subtract_mean", "window"))
+def prepare_ref_spectrum(ref: jnp.ndarray, subtract_mean: bool = False,
+                         window: Optional[str] = None) -> jnp.ndarray:
+    """Conditioned rFFT spectrum of a reference view.
+
+    The reference round is registered against by EVERY hyb round, so its
+    crop spectra are loop-invariant — computing them once per FOV halves
+    the forward-FFT work of each round's drift stage (reference
+    correct_fov_image recomputes the ref per call, io_tools/load.py:387).
+    """
+    return jnp.fft.rfftn(_condition_view(ref, subtract_mean, window))
+
+
+def subpixel_phase_correlation_prepared(
+        F_ref: jnp.ndarray, mov: jnp.ndarray,
+        upsample_factor: int = 100,
+        normalization: Optional[str] = None,
+        stages: Optional[Tuple[int, ...]] = None,
+        subtract_mean: bool = False,
+        window: Optional[str] = None) -> jnp.ndarray:
+    """`subpixel_phase_correlation` against a precomputed reference
+    spectrum (see :func:`prepare_ref_spectrum`)."""
+    mov = _condition_view(mov, subtract_mean, window)
+    F_mov = jnp.fft.rfftn(mov)
+    return _phase_correlate_spectrum(F_ref, F_mov, mov.shape,
+                                     upsample_factor, normalization,
+                                     stages)
+
+
+def _phase_correlate_spectrum(F_ref, F_mov, shape, upsample_factor,
+                              normalization, stages) -> jnp.ndarray:
     R = F_ref * jnp.conj(F_mov)
     if normalization == "phase":
         R = R / jnp.maximum(jnp.abs(R), 1e-20)
-    cc = jnp.abs(jnp.fft.irfftn(R, s=ref.shape))
+    cc = jnp.abs(jnp.fft.irfftn(R, s=shape))
     flat = jnp.argmax(cc)
     peak = jnp.stack(jnp.unravel_index(flat, cc.shape)).astype(jnp.float32)
     size = jnp.asarray(cc.shape, jnp.float32)
@@ -163,7 +199,7 @@ def subpixel_phase_correlation(ref: jnp.ndarray, mov: jnp.ndarray,
         total *= u
         # grid must cover +-(1/previous_resolution)/2 with margin
         npoints = int(2 * np.ceil(0.75 * u)) + 1
-        est = _upsampled_argmax(R, ref.shape[-1], est, total, npoints)
+        est = _upsampled_argmax(R, shape[-1], est, total, npoints)
         if total >= upsample_factor:
             break
     return est

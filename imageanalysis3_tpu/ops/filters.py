@@ -357,20 +357,31 @@ def counting_median_layers_and_global(im: jnp.ndarray, bits: int = 18):
     half_layer = (n_layer + 1) // 2
     half_all = (n_all + 1) // 2
     scale = 4.0
-    codes = jnp.floor(imf * scale + 0.5).astype(jnp.int32)
-    zero_l = jnp.min(codes, axis=(1, 2)) * 0
-    lo_l = zero_l
-    hi_l = zero_l + ((1 << bits) - 1)
-    zero_g = jnp.min(codes) * 0
-    lo_g = zero_g
-    hi_g = zero_g + ((1 << bits) - 1)
+    # the search compares the f32 image directly against exactly-
+    # representable code thresholds: floor(4x + 0.5) <= mid  <=>
+    # x < (mid + 0.5)/4 (both sides exact in f32), so no 1 GB int32
+    # code array is ever materialized.  True per-layer/global bounds:
+    # the search then converges in log2(actual value range) passes —
+    # typically ~11 for camera data spanning ~1000 counts, vs the
+    # worst-case `bits`=18 (result exact either way).
+    code_of = lambda v: jnp.floor(v * scale + 0.5).astype(jnp.int32)
+    lo_l = code_of(jnp.min(imf, axis=(1, 2)))
+    hi_l = code_of(jnp.max(imf, axis=(1, 2)))
+    lo_g = jnp.min(lo_l)
+    hi_g = jnp.max(hi_l)
 
-    def body(_, state):
+    def cond(state):
+        lo_l, hi_l, lo_g, hi_g = state
+        return jnp.any(lo_l < hi_l) | (lo_g < hi_g)
+
+    def body(state):
         lo_l, hi_l, lo_g, hi_g = state
         mid_l = (lo_l + hi_l) >> 1
         mid_g = (lo_g + hi_g) >> 1
-        below_l = codes <= mid_l[:, None, None]
-        below_g = codes <= mid_g
+        th_l = (mid_l.astype(jnp.float32) + 0.5) / scale
+        th_g = (mid_g.astype(jnp.float32) + 0.5) / scale
+        below_l = imf < th_l[:, None, None]
+        below_g = imf < th_g
         cnt_l = jnp.sum(below_l.astype(jnp.int32), axis=(1, 2))
         cnt_g = jnp.sum(below_g.astype(jnp.int32))
         ok_l = cnt_l >= half_layer
@@ -380,6 +391,6 @@ def counting_median_layers_and_global(im: jnp.ndarray, bits: int = 18):
                 jnp.where(ok_g, lo_g, mid_g + 1),
                 jnp.where(ok_g, mid_g, hi_g))
 
-    lo_l, _, lo_g, _ = jax.lax.fori_loop(0, bits, body,
-                                         (lo_l, hi_l, lo_g, hi_g))
+    lo_l, _, lo_g, _ = jax.lax.while_loop(cond, body,
+                                          (lo_l, hi_l, lo_g, hi_g))
     return lo_l.astype(jnp.float32) / scale, lo_g.astype(jnp.float32) / scale

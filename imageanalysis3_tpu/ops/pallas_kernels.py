@@ -38,24 +38,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _stencil_kernel(params_smem, max_hbm, min_hbm, level_out, diff_out,
                     max_vmem, min_vmem, sem):
-    """One (Z, BX, BY) core tile: 3^3 max/min stencil + level classify.
+    """One (BZ, BX, BY) core tile: 3^3 max/min stencil + level classify.
 
     Mosaic requires HBM DMA slices aligned to the (8, 128) register
-    tiling, so each program over-fetches an aligned window: the sources
-    are pre-padded by (8, 128) and the window [i*BX, i*BX+BX+16) x
-    [j*BY, j*BY+BY+256) in padded coordinates covers the core tile (at
-    offset (8, 128)) plus its halo-1 ring.
+    tiling in the two minor dims, so each program over-fetches an aligned
+    window: the sources are pre-padded by (1, 8, 128) and the window
+    [k*BZ, k*BZ+BZ+2) x [i*BX, i*BX+BX+16) x [j*BY, j*BY+BY+256) in
+    padded coordinates covers the core tile (at offset (1, 8, 128)) plus
+    its halo-1 ring.  3D blocking keeps the over-fetch ratio ~2x (the
+    earlier full-z version fetched (48, 384) windows per (16, 128) core —
+    a 9x read amplification that lost to the unfused XLA form).
     """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    z, bxw, byw = max_vmem.shape          # (Z, BX+16, BY+256)
-    bx, by = bxw - 16, byw - 256
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    bzw, bxw, byw = max_vmem.shape        # (BZ+2, BX+16, BY+256)
+    bz, bx, by = bzw - 2, bxw - 16, byw - 256
 
     cp1 = pltpu.make_async_copy(
-        max_hbm.at[:, pl.ds(i * bx, bxw), pl.ds(j * by, byw)],
+        max_hbm.at[pl.ds(k * bz, bzw), pl.ds(i * bx, bxw),
+                   pl.ds(j * by, byw)],
         max_vmem, sem.at[0])
     cp2 = pltpu.make_async_copy(
-        min_hbm.at[:, pl.ds(i * bx, bxw), pl.ds(j * by, byw)],
+        min_hbm.at[pl.ds(k * bz, bzw), pl.ds(i * bx, bxw),
+                   pl.ds(j * by, byw)],
         min_vmem, sem.at[1])
     cp1.start()
     cp2.start()
@@ -70,30 +76,28 @@ def _stencil_kernel(params_smem, max_hbm, min_hbm, level_out, diff_out,
     fy = params_smem[5].astype(jnp.int32)
     x0 = i * bx
     y0 = j * by
+    z0 = k * bz
 
     def sep_reduce(v, op):
-        """3-point separable window reduce -> core tile (halo'd input).
-        z boundary: edge replication (== scipy 'reflect' for a 3-window).
-        """
-        up = jnp.concatenate([v[:1], v[:-1]], axis=0)
-        dn = jnp.concatenate([v[1:], v[-1:]], axis=0)
-        v = op(op(up, v), dn)
+        """3-point separable window reduce -> core tile (halo'd input)."""
+        v = op(op(v[:-2], v[1:-1]), v[2:])
         v = op(op(v[:, :-2], v[:, 1:-1]), v[:, 2:])
         return op(op(v[:, :, :-2], v[:, :, 1:-1]), v[:, :, 2:])
 
-    # halo-1 window around the core: padded offsets [7, bx+9) x [127, by+129)
+    # halo-1 window around the core: padded offsets
+    # [0, bz+2) x [7, bx+9) x [127, by+129)
     mx = max_vmem[:, 7:bx + 9, 127:by + 129]
     mn = min_vmem[:, 7:bx + 9, 127:by + 129]
     max3 = sep_reduce(mx, jnp.maximum)
     min3 = sep_reduce(mn, jnp.minimum)
-    core_max = mx[:, 1:-1, 1:-1]
-    core_min = mn[:, 1:-1, 1:-1]
+    core_max = mx[1:-1, 1:-1, 1:-1]
+    core_min = mn[1:-1, 1:-1, 1:-1]
     local_max = (max3 == core_max) & (min3 != core_min)
     diff = core_max - core_min
 
-    zi = jax.lax.broadcasted_iota(jnp.int32, (z, bx, by), 0)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (z, bx, by), 1) + x0
-    yi = jax.lax.broadcasted_iota(jnp.int32, (z, bx, by), 2) + y0
+    zi = jax.lax.broadcasted_iota(jnp.int32, (bz, bx, by), 0) + z0
+    xi = jax.lax.broadcasted_iota(jnp.int32, (bz, bx, by), 1) + x0
+    yi = jax.lax.broadcasted_iota(jnp.int32, (bz, bx, by), 2) + y0
     edge_ok = ((zi >= edge) & (zi <= fz - edge)
                & (xi >= edge) & (xi <= fx - edge)
                & (yi >= edge) & (yi <= fy - edge))
@@ -111,25 +115,36 @@ def _stencil_kernel(params_smem, max_hbm, min_hbm, level_out, diff_out,
 
 
 @partial(jax.jit, static_argnames=("n_lvl", "min_edge_distance",
-                                   "block_x", "block_y", "interpret"))
+                                   "block_z", "block_x", "block_y",
+                                   "interpret"))
 def level_stencil_pallas(max_im: jnp.ndarray, min_im: jnp.ndarray,
                          th_seed, n_lvl: int,
                          min_edge_distance: int = 2,
-                         block_x: int = 16, block_y: int = 128,
+                         block_z: int = 0, block_x: int = 32,
+                         block_y: int = 256,
                          interpret: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused 3^3 max/min stencil + threshold-level classification.
 
     max_im / min_im: the foreground / background blurred stacks (Z, X, Y).
     Returns (level int8, diff f32, counts (n_lvl,)) with the exact
-    semantics of the unfused path in ops/seeding.py.
+    semantics of the unfused path in ops/seeding.py.  The z-boundary
+    replicates edges, which equals scipy 'reflect' for a 3-window.
     """
     z, x, y = max_im.shape
-    assert x % block_x == 0 and y % block_y == 0
-    gx, gy = x // block_x, y // block_y
-    # (8, 128)-aligned over-fetch padding (see kernel docstring); edge
-    # replication keeps the stencil's boundary semantics
-    pad = ((0, 0), (8, 8), (128, 128))
+    if block_z <= 0:
+        block_z = z
+        for cand in (12, 10, 15, 8, 6, 5, 4, 20, 16):
+            if z % cand == 0:
+                block_z = cand
+                break
+    block_x = min(block_x, x)
+    block_y = min(block_y, y)
+    assert z % block_z == 0 and x % block_x == 0 and y % block_y == 0
+    gz, gx, gy = z // block_z, x // block_x, y // block_y
+    # (1, 8, 128)-aligned over-fetch padding; edge replication keeps the
+    # stencil's boundary semantics
+    pad = ((1, 1), (8, 8), (128, 128))
     mx = jnp.pad(max_im.astype(jnp.float32), pad, mode="edge")
     mn = jnp.pad(min_im.astype(jnp.float32), pad, mode="edge")
     params = jnp.asarray([float(th_seed) if np.isscalar(th_seed) else 0.0,
@@ -140,23 +155,27 @@ def level_stencil_pallas(max_im: jnp.ndarray, min_im: jnp.ndarray,
 
     level, diff = pl.pallas_call(
         _stencil_kernel,
-        grid=(gx, gy),
+        grid=(gz, gx, gy),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((z, block_x, block_y), lambda i, j: (0, i, j)),
-            pl.BlockSpec((z, block_x, block_y), lambda i, j: (0, i, j)),
+            pl.BlockSpec((block_z, block_x, block_y),
+                         lambda k, i, j: (k, i, j)),
+            pl.BlockSpec((block_z, block_x, block_y),
+                         lambda k, i, j: (k, i, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((z, x, y), jnp.int32),
             jax.ShapeDtypeStruct((z, x, y), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((z, block_x + 16, block_y + 256), jnp.float32),
-            pltpu.VMEM((z, block_x + 16, block_y + 256), jnp.float32),
+            pltpu.VMEM((block_z + 2, block_x + 16, block_y + 256),
+                       jnp.float32),
+            pltpu.VMEM((block_z + 2, block_x + 16, block_y + 256),
+                       jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -227,20 +246,29 @@ def _dual_blur_kernel(a7_ref, a61_ref, wl7_ref, wr7_ref, wl61_ref,
     cp1.wait()
     cp2.wait()
 
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def dot3(a, b):
+        """~f32-accurate matmul in 3 bf16 MXU passes: split both
+        operands into bf16 high+low parts and drop only the lo*lo term
+        (~1e-5 relative) — half the cost of Precision.HIGHEST's 6-pass
+        decomposition, and Mosaic offers nothing in between."""
+        ah, al = split(a)
+        bh, bl = split(b)
+        f32 = jnp.float32
+        return (jnp.dot(ah, bh, preferred_element_type=f32)
+                + jnp.dot(ah, bl, preferred_element_type=f32)
+                + jnp.dot(al, bh, preferred_element_type=f32))
+
     def pass_xy(v, a_ref, wl_ref, wr_ref):
-        # explicit f32 precision: Mosaic dots default to bf16 inputs,
-        # which costs ~0.25% on the weights — outside blur tolerance
-        # (Mosaic supports only DEFAULT and HIGHEST)
-        hi = jax.lax.Precision.HIGHEST
-        fx = jnp.dot(a_ref[:], v[:], precision=hi,
-                     preferred_element_type=jnp.float32)      # (BX, YP)
+        fx = dot3(a_ref[:], v[:])                             # (BX, YP)
         fb = fx.reshape(bx, nb + 1, 128)
         left = fb[:, :nb].reshape(bx * nb, 128)
         right = fb[:, 1:].reshape(bx * nb, 128)
-        out = (jnp.dot(left, wl_ref[:], precision=hi,
-                       preferred_element_type=jnp.float32)
-               + jnp.dot(right, wr_ref[:], precision=hi,
-                         preferred_element_type=jnp.float32))
+        out = dot3(left, wl_ref[:]) + dot3(right, wr_ref[:])
         return out.reshape(bx, nb * 128)
 
     fg_out[0] = pass_xy(fgv[:], a7_ref, wl7_ref, wr7_ref)

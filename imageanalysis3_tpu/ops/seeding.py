@@ -170,6 +170,10 @@ def get_seeds(im: jnp.ndarray,
         and _radius(background_gfilt_size) <= 32)
 
     if use_pallas:
+        # NOTE: chaining level_stencil_pallas here measured neutral
+        # (3.36 vs 3.40 stacks/s): the 16 MB VMEM budget forces blocks
+        # whose aligned-DMA over-fetch (~3.5x reads) cancels the fusion
+        # win, so the XLA stencil stays the production path.
         from .pallas_kernels import dual_gaussian_blur
 
         max_im, min_im = dual_gaussian_blur(imf, gfilt_size,

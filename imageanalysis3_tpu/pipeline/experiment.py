@@ -314,10 +314,13 @@ class ExperimentDriver:
         ims = self._load_round(plan, fov_name)
         t0 = time.perf_counter()
         ref_im = pipe.correct_reference(ims)
+        # per-crop drift spectra, computed ONCE per FOV: every round's
+        # registration then skips the reference half of its FFT work
+        ref_spec = pipe.prepare_reference(ref_im)
         import jax
-        jax.block_until_ready(ref_im)
+        jax.block_until_ready(ref_spec)
         self.timings.add("correct_reference", time.perf_counter() - t0)
-        return ref_im
+        return ref_spec
 
     def process_fov(self, fov_name: str,
                     overwrite: bool = False) -> Dict[str, int]:

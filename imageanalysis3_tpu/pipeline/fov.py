@@ -30,7 +30,8 @@ from jax import shard_map
 from ..config import ExperimentConfig
 from ..ops.corrections import correct_channel_stack
 from ..ops.drift import (generate_drift_crops, subpixel_phase_correlation,
-                         consensus_drift)
+                         subpixel_phase_correlation_prepared,
+                         prepare_ref_spectrum, consensus_drift)
 from ..ops.seeding import get_seeds
 from ..ops.gaussian_fit import iter_fit_seed_points
 from ..ops.warp import warp_spot_coords
@@ -130,13 +131,24 @@ class FovPipeline:
                 clip_max=corr.clip_max,
             )
 
-        def drift_of(src_im, ref_im):
-            src_b = jnp.stack([_crop(src_im, b) for b in crops])
+        def ref_spectra(ref_im):
+            """Per-crop conditioned rFFT spectra of the reference round —
+            loop-invariant across hyb rounds, so the driver computes them
+            once per FOV (prepare_reference) instead of per round."""
             ref_b = jnp.stack([_crop(ref_im, b) for b in crops])
+            return jax.vmap(lambda r: prepare_ref_spectrum(
+                r, subtract_mean=cfg.drift.subtract_mean,
+                window=cfg.drift.window))(ref_b)
 
-            def one(s, r):
-                return subpixel_phase_correlation(
-                    r, s, upsample_factor=cfg.drift.upsample_factor,
+        def drift_of(src_im, ref):
+            src_b = jnp.stack([_crop(src_im, b) for b in crops])
+            # `ref` is either the corrected reference image (3D) or the
+            # prepared per-crop spectra (4D complex)
+            spectra = ref if ref.ndim == 4 else ref_spectra(ref)
+
+            def one(s, fr):
+                return subpixel_phase_correlation_prepared(
+                    fr, s, upsample_factor=cfg.drift.upsample_factor,
                     subtract_mean=cfg.drift.subtract_mean,
                     window=cfg.drift.window)
 
@@ -147,7 +159,7 @@ class FovPipeline:
             # cond branch spend FFTs on the remaining crops.
             k = len(crops)
             k1 = max(cfg.drift.min_good_drifts, k // 2)
-            drifts1 = jax.vmap(one)(src_b[:k1], ref_b[:k1])
+            drifts1 = jax.vmap(one)(src_b[:k1], spectra[:k1])
             out1, flag1 = consensus_drift(
                 drifts1, drift_diff_th=cfg.drift.good_drift_th,
                 min_good_drifts=cfg.drift.min_good_drifts)
@@ -155,7 +167,7 @@ class FovPipeline:
                 return out1, flag1
 
             def rest(_):
-                drifts2 = jax.vmap(one)(src_b[k1:], ref_b[k1:])
+                drifts2 = jax.vmap(one)(src_b[k1:], spectra[k1:])
                 return consensus_drift(
                     jnp.concatenate([drifts1, drifts2]),
                     drift_diff_th=cfg.drift.good_drift_th,
@@ -164,6 +176,8 @@ class FovPipeline:
             return jax.lax.cond(flag1 == 0,
                                 lambda _: (out1, flag1), rest,
                                 operand=None)
+
+        self._ref_spectra = jax.jit(ref_spectra)
 
         def fit_channel(im, th_seed):
             seeds = get_seeds(
@@ -247,8 +261,15 @@ class FovPipeline:
             clip_min=corr.clip_min, clip_max=corr.clip_max)
         return out[self.drift_idx]
 
+    def prepare_reference(self, ref_im) -> jnp.ndarray:
+        """Per-crop drift spectra of the corrected reference image —
+        compute once per FOV, pass to `process_round` in place of the
+        image (halves each round's forward-FFT work)."""
+        return self._ref_spectra(jnp.asarray(ref_im))
+
     def process_round(self, ims, ref_im) -> RoundResult:
-        """Process one round's (C, Z, X, Y) stack against the reference."""
+        """Process one round's (C, Z, X, Y) stack against the reference
+        (either the corrected image or `prepare_reference` spectra)."""
         return self._process(jnp.asarray(ims), jnp.asarray(ref_im),
                              self.seed_thresholds)
 
