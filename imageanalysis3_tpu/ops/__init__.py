@@ -10,7 +10,7 @@ from .filters import (gaussian_filter, maximum_filter, minimum_filter,
                       counting_median)
 from .gaussian_fit import (iter_fit_seed_points, fit_fov_image,
                            get_centers, select_sparse_centers,
-                           find_image_background, FitResult)
+                           find_image_background, FitResult, gfit_fast)
 from .cell_fitting import (fit_spots_in_crops, fit_spots_by_segmentation,
                            fit_spots_around_centers,
                            segmentation_bounding_boxes)
@@ -35,6 +35,7 @@ __all__ = [
     "gaussian_highpass", "gaussian_deconvolution", "counting_median",
     "iter_fit_seed_points", "fit_fov_image", "get_centers",
     "select_sparse_centers", "find_image_background", "FitResult",
+    "gfit_fast",
     "fit_spots_in_crops", "fit_spots_by_segmentation",
     "fit_spots_around_centers", "segmentation_bounding_boxes",
     "find_paired_centers", "check_paired_centers", "align_beads",

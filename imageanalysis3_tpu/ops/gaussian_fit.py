@@ -536,3 +536,45 @@ def select_sparse_centers(centers: jnp.ndarray, valid: jnp.ndarray,
         return kept.at[i].set(keep_i)
 
     return jax.lax.fori_loop(0, n, body, jnp.zeros(n, bool))
+
+
+@partial(jax.jit, static_argnames=("bk_fraction", "reconstruct"))
+def gfit_fast(pixels: jnp.ndarray, coords: jnp.ndarray,
+              mask: jnp.ndarray, bk_fraction: float = 0.1,
+              reconstruct: bool = False) -> jnp.ndarray:
+    """Moment-based fast Gaussian fit of one pixel block.
+
+    Behavior target: reference gfit_fast (External/Fitting_v4.py:433-490):
+    background = the `bk_fraction` quantile, weights = clipped excess over
+    background, position = intensity-weighted centroid, shape = weighted
+    covariance.  Returns the reference's 12-vector
+    [h, z, x, y, bk, a, b, c, d, e, f, eps] (covariance entries in the
+    reference's ordering; eps = mean |residual| when `reconstruct`, else
+    NaN).  Batched use: ``jax.vmap(gfit_fast)`` over gathered blocks —
+    a cheap screen/initializer where the full LM engine is overkill.
+    """
+    maskf = mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(maskf), 1.0)
+    # bk = sorted(im)[int(n * bk_f)] over the valid pixels
+    s = jnp.sort(jnp.where(mask, pixels, jnp.inf))
+    k = jnp.clip((n * bk_fraction).astype(jnp.int32), 0,
+                 pixels.shape[0] - 1)
+    bk = s[k]
+    w = jnp.maximum(pixels - bk, 0.0) * maskf
+    h = jnp.max(w)
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    wn = w / wsum
+    zxy = jnp.sum(coords * wn[:, None], axis=0)
+    d = coords - zxy[None]
+    cov = jnp.einsum("pi,pj,p->ij", d, d, wn)
+    a, b, c = cov[0, 0], cov[1, 1], cov[2, 2]
+    dd, e, f = cov[0, 1], cov[0, 2], cov[1, 2]
+    if reconstruct:
+        icov = jnp.linalg.inv(cov + 1e-9 * jnp.eye(3))
+        q = jnp.einsum("pi,ij,pj->p", d, icov, d)
+        fit = h * jnp.exp(-0.5 * q) + bk
+        eps = jnp.sum(jnp.abs(pixels - fit) * maskf) / n
+    else:
+        eps = jnp.nan
+    return jnp.stack([h, zxy[0], zxy[1], zxy[2], bk, a, b, c, dd, e, f,
+                      eps])

@@ -157,3 +157,45 @@ def test_fit_convergence_flag():
     res = G.fit_fov_image(im, seeds=seeds)
     assert bool(np.asarray(res.converged)[0])
     assert int(res.n_rounds) <= 10
+
+
+def test_gfit_fast_matches_reference_transliteration():
+    """Moment fast-fit equals a NumPy transliteration of the reference
+    gfit_fast (External/Fitting_v4.py:433-490) and localizes a synthetic
+    Gaussian to ~0.1 px."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from imageanalysis3_tpu import synthetic as syn
+    from imageanalysis3_tpu.ops.gaussian_fit import (gather_blocks,
+                                                     gfit_fast)
+
+    rng = np.random.default_rng(0)
+    c = np.array([[6.3, 14.6, 17.2]])
+    im = syn.render_gaussian_spots((12, 32, 32), c, [2000.0],
+                                   np.array([[1.3, 1.8, 1.8]]), 100.0)
+    imj = jnp.asarray(im, jnp.float32)
+    px, co, mk = gather_blocks(imj, jnp.asarray(np.round(c), jnp.float32),
+                               radius=5)
+    got = np.asarray(gfit_fast(px[0], co[0], mk[0], reconstruct=True))
+
+    # transliteration
+    im_ = np.asarray(px[0])[np.asarray(mk[0])]
+    X_ = np.asarray(co[0])[np.asarray(mk[0])].T
+    nim = len(im_)
+    bk = np.sort(im_)[int(nim * 0.1)]
+    weights = np.clip(im_ - bk, 0, None)
+    h = weights.max()
+    wn = weights / weights.sum()
+    zxy = (X_ * wn).sum(-1)
+    X_c = X_.T - zxy
+    cov = np.einsum("pi,pj,p->ij", X_c, X_c, wn)
+    np.testing.assert_allclose(got[0], h, rtol=1e-5)
+    np.testing.assert_allclose(got[1:4], zxy, rtol=1e-5)
+    np.testing.assert_allclose(got[4], bk, rtol=1e-5)
+    np.testing.assert_allclose(
+        got[5:11], [cov[0, 0], cov[1, 1], cov[2, 2], cov[0, 1],
+                    cov[0, 2], cov[1, 2]], rtol=1e-4, atol=1e-5)
+    assert np.isfinite(got[11])
+    assert np.linalg.norm(got[1:4] - c[0]) < 0.12
