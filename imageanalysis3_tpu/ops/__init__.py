@@ -4,7 +4,9 @@ from .corrections import (remove_hot_pixels, z_shift_correct,
                           illumination_correct, bleedthrough_unmix,
                           correct_channel_stack)
 from .drift import (subpixel_phase_correlation, generate_drift_crops,
-                    consensus_drift, align_image, fft3d_from2d)
+                    consensus_drift, align_image, fft3d_from2d,
+                    prepare_ref_spectrum,
+                    subpixel_phase_correlation_prepared)
 from .filters import (gaussian_filter, maximum_filter, minimum_filter,
                       gaussian_highpass, gaussian_deconvolution,
                       counting_median)
@@ -31,6 +33,7 @@ __all__ = [
     "bleedthrough_unmix", "correct_channel_stack",
     "subpixel_phase_correlation", "generate_drift_crops",
     "consensus_drift", "align_image", "fft3d_from2d",
+    "prepare_ref_spectrum", "subpixel_phase_correlation_prepared",
     "gaussian_filter", "maximum_filter", "minimum_filter",
     "gaussian_highpass", "gaussian_deconvolution", "counting_median",
     "iter_fit_seed_points", "fit_fov_image", "get_centers",
