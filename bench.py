@@ -61,9 +61,11 @@ def _stage_breakdown(pipe, variants, ref_im):
     """Median wall time per pipeline stage, seconds.
 
     Each timing call consumes a different variant (the tunnel caches
-    identical calls), and at most ONE corrected f32 stack is held at a
-    time (HBM discipline: three 1 GB copies OOM'd alongside the timed
-    loop's leftovers).  variants[-1] only warms each compile."""
+    identical calls).  The drift/fit stages time against pre-corrected
+    f32 stacks, so len(variants) 1 GB copies are live at once — fine at
+    the 3 variants used here, but the raw uint16 variants are deleted
+    first and n_iter must stay small (HBM budget ~16 GB).
+    variants[-1] only warms each compile."""
     import jax
 
     th = pipe.seed_thresholds

@@ -297,7 +297,13 @@ def dual_blur_xy_pallas(fgz: jnp.ndarray, bgz: jnp.ndarray,
     arithmetic as small MXU matmuls on VMEM tiles.
     """
     z, x, y = fgz.shape
-    assert x % block_x == 0 and y % 128 == 0
+    # pick a block that divides x: callers gate only on x % 8 == 0, so
+    # shrink from the requested block until it divides (sublane-aligned
+    # blocks down to 8 keep the (8, 128) register tiling happy)
+    block_x = min(block_x, x)
+    while x % block_x:
+        block_x //= 2
+    assert block_x >= 8 and x % block_x == 0 and y % 128 == 0
     k7 = np.asarray(k7_key, np.float32)
     k61 = np.asarray(k61_key, np.float32)
     assert len(k7) // 2 <= 32 and len(k61) // 2 <= 32, \

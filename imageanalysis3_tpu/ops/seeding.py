@@ -74,10 +74,11 @@ def _classify_from_blurs(max_im, min_im, th_seed, x0, core_x: int,
     from .filters import _window_reduce_interior
 
     halo = (max_im.shape[1] - core_x) // 2
-    if min_edge_distance >= 1:
+    if min_edge_distance >= filt_size // 2:
         # qualification is discarded within min_edge_distance of every
         # border, so the init-padded reduce_window (no materialized pad
-        # copies) is exact where it matters
+        # copies) is exact where it matters — but only when the discarded
+        # border covers the filter's reach (filt_size // 2)
         max_ft = _window_reduce_interior(max_im, filt_size, "max") == max_im
         min_ft = _window_reduce_interior(min_im, filt_size, "min") != min_im
     else:
@@ -165,7 +166,7 @@ def get_seeds(im: jnp.ndarray,
         jax.default_backend() == "tpu"
         and shape[1] <= 2 * slab_x
         and gfilt_size and background_gfilt_size
-        and shape[1] % 64 == 0 and shape[2] % 128 == 0
+        and shape[1] % 8 == 0 and shape[2] % 128 == 0
         and _radius(gfilt_size) <= 32
         and _radius(background_gfilt_size) <= 32)
 
