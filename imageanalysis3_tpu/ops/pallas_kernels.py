@@ -366,3 +366,238 @@ def dual_gaussian_blur(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
     bgz = _conv1d_along_axis(imf, k_bg, 0, "reflect")
     return dual_blur_xy_pallas(fgz, bgz, tuple(k_fg.tolist()),
                                tuple(k_bg.tolist()), interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused seeding classifier: dual blur + 3^3 stencil + level map in ONE
+# kernel (the blurred stacks never touch HBM)
+# ---------------------------------------------------------------------------
+
+
+def _blur_stencil_kernel(params_smem, axf_ref, axb_ref, wlf_ref, wrf_ref,
+                         wlb_ref, wrb_ref, fg_hbm, bg_hbm,
+                         level_out, diff_out, hist_out,
+                         fgv, bgv, ring_fg, ring_bg, sem,
+                         *, n_lvl_static: int):
+    """One (x-block, z-step): xy-blur plane k of both stacks into a 3-slot
+    ring, then emit the 3^3 max/min stencil + threshold-level classification
+    for plane k-1 from the ring.
+
+    Geometry: ring planes carry BX+8 x-rows covering core rows [-4, BX+4)
+    (the x-pass matrix has BX+8 rows), so the x-stencil has exact halo-1
+    data at block seams; the y-stencil uses +-inf edge columns (discarded
+    by the min_edge_distance mask, exactly like the init-padded
+    reduce_window of the unfused path); z edges replicate the boundary
+    plane, which equals scipy 'reflect' for a 3-window.
+    """
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    nz = pl.num_programs(1) - 1
+    nring, bxe, ycore = ring_fg.shape           # (3, BX+8, Y)
+    bx = bxe - 8
+    bxw, yp = fgv.shape                          # (BX+80, Y+128)
+    nb = (yp - 128) // 128
+
+    th = params_smem[0]
+    n_lvl_f = params_smem[1]
+    edge = params_smem[2].astype(jnp.int32)
+    fz = params_smem[3].astype(jnp.int32)
+    fx = params_smem[4].astype(jnp.int32)
+    fy = params_smem[5].astype(jnp.int32)
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def dot3(a, b):
+        ah, al = split(a)
+        bh, bl = split(b)
+        f32 = jnp.float32
+        return (jnp.dot(ah, bh, preferred_element_type=f32)
+                + jnp.dot(ah, bl, preferred_element_type=f32)
+                + jnp.dot(al, bh, preferred_element_type=f32))
+
+    @pl.when(k < nz)
+    def _load_and_blur():
+        cp1 = pltpu.make_async_copy(
+            fg_hbm.at[k, pl.ds(i * bx, bxw), :], fgv, sem.at[0])
+        cp2 = pltpu.make_async_copy(
+            bg_hbm.at[k, pl.ds(i * bx, bxw), :], bgv, sem.at[1])
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+
+        def pass_xy(v, a_ref, wl_ref, wr_ref):
+            fxp = dot3(a_ref[:], v)                       # (BX+8, YP)
+            fb = fxp.reshape(bxe, nb + 1, 128)
+            left = fb[:, :nb].reshape(bxe * nb, 128)
+            right = fb[:, 1:].reshape(bxe * nb, 128)
+            out = dot3(left, wl_ref[:]) + dot3(right, wr_ref[:])
+            return out.reshape(bxe, nb * 128)
+
+        slot = jax.lax.rem(k, 3)
+        ring_fg[pl.ds(slot, 1)] = pass_xy(fgv[:], axf_ref, wlf_ref,
+                                          wrf_ref)[None]
+        ring_bg[pl.ds(slot, 1)] = pass_xy(bgv[:], axb_ref, wlb_ref,
+                                          wrb_ref)[None]
+
+    @pl.when(k >= 1)
+    def _emit():
+        j = k - 1
+        s_cur = jax.lax.rem(j, 3)
+        s_prev = jnp.where(j > 0, jax.lax.rem(j + 2, 3), s_cur)
+        s_next = jnp.where(k < nz, jax.lax.rem(k, 3), s_cur)
+
+        def ring3(ring):
+            cur = ring[pl.ds(s_cur, 1)][0]
+            prev = ring[pl.ds(s_prev, 1)][0]
+            nxt = ring[pl.ds(s_next, 1)][0]
+            return prev, cur, nxt
+
+        pf, cf, nf = ring3(ring_fg)
+        pb, cb, nb_ = ring3(ring_bg)
+
+        zmax = jnp.maximum(jnp.maximum(pf, cf), nf)           # (BX+8, Y)
+        zmin = jnp.minimum(jnp.minimum(pb, cb), nb_)
+        xmax = jnp.maximum(jnp.maximum(zmax[3:3 + bx], zmax[4:4 + bx]),
+                           zmax[5:5 + bx])                    # (BX, Y)
+        xmin = jnp.minimum(jnp.minimum(zmin[3:3 + bx], zmin[4:4 + bx]),
+                           zmin[5:5 + bx])
+
+        def y3(a, op, fill):
+            # lane-shift via roll + iota-masked edge fill (Mosaic cannot
+            # lower a lane-dim concatenate of mismatched offsets)
+            yi = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+            left = jnp.where(yi == 0, fill, pltpu.roll(a, 1, 1))
+            right = jnp.where(yi == a.shape[1] - 1, fill,
+                              pltpu.roll(a, a.shape[1] - 1, 1))
+            return op(op(left, a), right)
+
+        max3 = y3(xmax, jnp.maximum, -jnp.inf)
+        min3 = y3(xmin, jnp.minimum, jnp.inf)
+        core_fg = cf[4:4 + bx]
+        core_bg = cb[4:4 + bx]
+        local_max = (max3 == core_fg) & (min3 != core_bg)
+        diff = core_fg - core_bg
+
+        zi = j
+        xi = jax.lax.broadcasted_iota(jnp.int32, (bx, ycore), 0) + i * bx
+        yi = jax.lax.broadcasted_iota(jnp.int32, (bx, ycore), 1)
+        edge_ok = ((zi >= edge) & (zi <= fz - edge)
+                   & (xi >= edge) & (xi <= fx - edge)
+                   & (yi >= edge) & (yi <= fy - edge))
+        qualify = local_max & edge_ok
+
+        n_lvl = n_lvl_f.astype(jnp.int32)
+        frac = 1.0 - diff / jnp.maximum(th, 1e-6)
+        level = jnp.ceil(frac * n_lvl_f).astype(jnp.int32)
+        level = jnp.clip(level, 0, n_lvl)
+        level = jnp.where(qualify, level, n_lvl)
+
+        level_out[0] = level.astype(jnp.int8)
+        diff_out[0] = diff
+
+        # per-level counts accumulated across z steps (the (8, 128) block
+        # satisfies the TPU tile minimum; only sublane 0 is meaningful)
+        lanes = hist_out.shape[2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+        hv = jnp.zeros((8, lanes), jnp.int32)
+        for l in range(n_lvl_static):
+            cnt = jnp.sum((level == l).astype(jnp.int32))
+            hv = hv + jnp.where(lane == l, cnt, 0)
+        prev_h = hist_out[0]
+        hist_out[0] = jnp.where(k == 1, hv, prev_h + hv)
+
+
+@partial(jax.jit, static_argnames=("n_lvl", "min_edge_distance",
+                                   "sigma_fg", "sigma_bg", "block_x",
+                                   "interpret"))
+def fused_seed_classify(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
+                        th_seed, n_lvl: int,
+                        min_edge_distance: int = 2,
+                        block_x: int = 64,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Seeding classifier in one fused pass: returns (level int8, diff f32,
+    counts (n_lvl,)) with the exact semantics of the unfused
+    ops/seeding.py path (gaussian blurs sigma_fg/sigma_bg, 3^3 stencil,
+    dynamic-threshold level map) for min_edge_distance >= 1, filt_size 3.
+
+    Structure: (1) pad raw once in x/y (symmetric); (2) both z-passes as
+    ONE banded-matmul einsum reading the padded raw a single time;
+    (3) the pallas kernel streams z-planes through xy-blur into a VMEM
+    ring and emits level/diff/hist directly — the blurred stacks never
+    reach HBM (the unfused path writes and re-reads them, ~4 GB of
+    traffic at 60x2048x2048).
+    """
+    from .filters import (CONV_PRECISION, _band_matrix, gaussian_kernel1d)
+
+    z, x, y = im.shape
+    k_fg = gaussian_kernel1d(sigma_fg)
+    k_bg = gaussian_kernel1d(sigma_bg)
+    r_max = max(len(k_fg), len(k_bg)) // 2
+    assert r_max <= 36, "x-pass pad (36) must cover the kernel radius"
+    assert r_max <= 64, "y-pass pad (64) must cover the kernel radius"
+    assert min_edge_distance >= 1 and z >= 2
+    block_x = min(block_x, x)
+    while x % block_x:
+        block_x //= 2
+    assert block_x >= 8 and y % 128 == 0
+
+    imf = im.astype(jnp.float32)
+    imp = jnp.pad(imf, ((0, 0), (40, 40), (64, 64)), mode="symmetric")
+    wz = np.stack([_band_matrix(z, tuple(k_fg.tolist()), "reflect"),
+                   _band_matrix(z, tuple(k_bg.tolist()), "reflect")])
+    fgbg = jnp.einsum("Kzw,wxy->Kzxy", jnp.asarray(wz), imp,
+                      precision=CONV_PRECISION)
+
+    axf = jnp.asarray(_x_weights(k_fg, block_x + 8, 36))
+    axb = jnp.asarray(_x_weights(k_bg, block_x + 8, 36))
+    wlf, wrf = map(jnp.asarray, _xy_weights(k_fg, 64))
+    wlb, wrb = map(jnp.asarray, _xy_weights(k_bg, 64))
+
+    params = jnp.stack([jnp.asarray(th_seed, jnp.float32),
+                        jnp.float32(n_lvl),
+                        jnp.float32(min_edge_distance),
+                        jnp.float32(z), jnp.float32(x), jnp.float32(y)])
+
+    gx = x // block_x
+    level, diff, hist = pl.pallas_call(
+        partial(_blur_stencil_kernel, n_lvl_static=n_lvl),
+        grid=(gx, z + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # axf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # axb
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wlf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wrf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wlb
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wrb
+            pl.BlockSpec(memory_space=pltpu.ANY),    # fgz padded
+            pl.BlockSpec(memory_space=pltpu.ANY),    # bgz padded
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_x, y),
+                         lambda i, k: (jnp.maximum(k - 1, 0), i, 0)),
+            pl.BlockSpec((1, block_x, y),
+                         lambda i, k: (jnp.maximum(k - 1, 0), i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i, k: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, x, y), jnp.int8),
+            jax.ShapeDtypeStruct((z, x, y), jnp.float32),
+            jax.ShapeDtypeStruct((gx, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_x + 80, y + 128), jnp.float32),
+            pltpu.VMEM((block_x + 80, y + 128), jnp.float32),
+            pltpu.VMEM((3, block_x + 8, y), jnp.float32),
+            pltpu.VMEM((3, block_x + 8, y), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(params, axf, axb, wlf, wrf, wlb, wrb, fgbg[0], fgbg[1])
+    counts = jnp.sum(hist[:, 0, :n_lvl], axis=0)
+    return level, diff, counts

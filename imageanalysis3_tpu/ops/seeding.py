@@ -159,22 +159,34 @@ def get_seeds(im: jnp.ndarray,
     args = (th_seed, gfilt_size, background_gfilt_size, filt_size,
             min_edge_distance, n_lvl)
 
-    # fused Pallas dual-blur fast path (TPU, aligned shapes, both blurs
-    # within the kernel's padding reach): the x+y passes of both
-    # gaussians run in one kernel — the dominant seeding cost otherwise
-    use_pallas = (
+    # fused Pallas fast paths (TPU, aligned shapes, both blurs within the
+    # kernel's padding reach).  The fully fused classifier streams
+    # z-planes through xy-blur + 3^3 stencil in ONE kernel (blurred
+    # stacks never reach HBM); the dual-blur-only kernel remains for
+    # shapes/settings the classifier can't take (filt_size != 3,
+    # min_edge_distance 0, z < 2).
+    on_tpu_aligned = (
         jax.default_backend() == "tpu"
         and shape[1] <= 2 * slab_x
         and gfilt_size and background_gfilt_size
-        and shape[1] % 8 == 0 and shape[2] % 128 == 0
+        and shape[1] % 8 == 0 and shape[2] % 128 == 0)
+    use_fused = (
+        on_tpu_aligned
+        and filt_size == 3 and min_edge_distance >= 1 and shape[0] >= 2
+        and _radius(gfilt_size) <= 36
+        and _radius(background_gfilt_size) <= 36)
+    use_pallas = (
+        on_tpu_aligned
         and _radius(gfilt_size) <= 32
         and _radius(background_gfilt_size) <= 32)
 
-    if use_pallas:
-        # NOTE: chaining level_stencil_pallas here measured neutral
-        # (3.36 vs 3.40 stacks/s): the 16 MB VMEM budget forces blocks
-        # whose aligned-DMA over-fetch (~3.5x reads) cancels the fusion
-        # win, so the XLA stencil stays the production path.
+    if use_fused:
+        from .pallas_kernels import fused_seed_classify
+
+        level, diff, counts = fused_seed_classify(
+            imf, gfilt_size, background_gfilt_size, th_seed, n_lvl,
+            min_edge_distance=min_edge_distance)
+    elif use_pallas:
         from .pallas_kernels import dual_gaussian_blur
 
         max_im, min_im = dual_gaussian_blur(imf, gfilt_size,
@@ -216,34 +228,56 @@ def get_seeds(im: jnp.ndarray,
 
     n_sel = jnp.sum(sel.astype(jnp.int32))
 
-    # brightest-first extraction via hierarchical top_k: a cumsum-based
-    # `nonzero` is ~30x slower on TPU (measured 1.76s vs 0.06s at 250M px).
-    # Stage 1 keeps the top `row_cap` heights per ~15k-px row; stage 2
-    # selects the global top max_num_seeds.  Exact unless > row_cap
-    # in-budget seeds share one row (vanishingly rare at real densities).
-    masked = jnp.where(sel, diff, -jnp.inf).ravel()
-    total = masked.shape[0]
+    # brightest-first extraction: 2x2x2 block-max reduce, then
+    # hierarchical top_k over the 8x-smaller array (a cumsum-based
+    # `nonzero` is ~30x slower on TPU — measured 1.76s vs 0.06s at
+    # 250M px).  Two qualifying 3^3 local maxima are >= 2 apart in every
+    # axis (an adjacent pair can both qualify only on an exact tie in
+    # the blurred foreground), so each 2x2x2 block holds at most one
+    # in-budget seed; the winner's exact voxel is recovered from the 8
+    # block members afterwards.  Exact up to (a) such ties and (b)
+    # > row_cap in-budget seeds sharing one reduced row (vanishingly
+    # rare at real densities).
+    masked = jnp.where(sel, diff, -jnp.inf)
+    pz, px, py = (-shape[0]) % 2, (-shape[1]) % 2, (-shape[2]) % 2
+    mp = jnp.pad(masked, ((0, pz), (0, px), (0, py)),
+                 constant_values=-jnp.inf)
+    z2, x2, y2 = [(s + p) // 2 for s, p in zip(shape, (pz, px, py))]
+    # strided reduce_window, NOT a reshape: reshaping to (..., 2) minor
+    # dims materializes a lane-padded tiled copy (60 GB at FOV scale)
+    red = jax.lax.reduce_window(mp, -jnp.inf, jax.lax.max,
+                                (2, 2, 2), (2, 2, 2), "VALID").ravel()
+    total = red.shape[0]
     row_cap = 16
     rows = max(1, min(16384, total // row_cap))
     cols = -(-total // rows)
-    flat = jnp.pad(masked, (0, rows * cols - total),
+    flat = jnp.pad(red, (0, rows * cols - total),
                    constant_values=-jnp.inf)
     v1, i1 = jax.lax.top_k(flat.reshape(rows, cols), min(row_cap, cols))
     flat1 = (jnp.arange(rows, dtype=jnp.int32) * cols)[:, None] \
         + i1.astype(jnp.int32)
     k2 = min(max_num_seeds, int(v1.size))
     hts, order = jax.lax.top_k(v1.ravel(), k2)
-    flat_idx = flat1.ravel()[order]
+    block_idx = flat1.ravel()[order]
     if k2 < max_num_seeds:
         hts = jnp.pad(hts, (0, max_num_seeds - k2),
                       constant_values=-jnp.inf)
-        flat_idx = jnp.pad(flat_idx, (0, max_num_seeds - k2),
-                           constant_values=0)
-    zc = flat_idx // (shape[1] * shape[2])
-    rem = flat_idx % (shape[1] * shape[2])
-    xc = rem // shape[2]
-    yc = rem % shape[2]
-    coords = jnp.stack([zc, xc, yc], axis=1)
+        block_idx = jnp.pad(block_idx, (0, max_num_seeds - k2),
+                            constant_values=0)
+    bz = block_idx // (x2 * y2)
+    brem = block_idx % (x2 * y2)
+    bx = brem // y2
+    by = brem % y2
+    # winner voxel among the block's 8 members
+    offs = np.indices((2, 2, 2)).reshape(3, 8).T            # (8, 3)
+    cz = bz[:, None] * 2 + offs[None, :, 0]
+    cx = bx[:, None] * 2 + offs[None, :, 1]
+    cy = by[:, None] * 2 + offs[None, :, 2]
+    cand = mp[cz, cx, cy]                                    # (cap, 8)
+    pick = jnp.argmax(cand, axis=1)
+    coords = jnp.stack([cz[jnp.arange(cz.shape[0]), pick],
+                        cx[jnp.arange(cz.shape[0]), pick],
+                        cy[jnp.arange(cz.shape[0]), pick]], axis=1)
     valid = jnp.isfinite(hts)
     hts = jnp.where(valid, hts, 0.0)
     coords = jnp.where(valid[:, None], coords, -1)
