@@ -47,27 +47,30 @@ def main():
 
     classify = jax.jit(lambda a, b: seeding._classify_from_blurs(
         a, b, 300.0, 0, SHAPE[1], SHAPE, 3, 2, 10))
-    level, diff, counts = timed("classify (stencil+level+hist)", classify,
-                                mx, mn)
+    qdiff, counts = timed("classify (stencil+qdiff+hist)", classify,
+                          mx, mn)
 
-    def extract(level, diff, counts):
+    def extract(qdiff, counts):
         cum = jnp.cumsum(counts)
         reach = cum >= 1
         chosen = jnp.where(jnp.any(reach), jnp.argmax(reach), 9)
-        sel = level <= chosen.astype(jnp.int8)
+        sel = jnp.ceil((1.0 - qdiff / 300.0) * 10) <= chosen.astype(
+            jnp.float32)
         xy_counts = jnp.sum(sel.astype(jnp.int32), axis=0)
         sel = sel & (xy_counts[None] < 3)
-        masked = jnp.where(sel, diff, -jnp.inf).ravel()
-        total = masked.shape[0]
+        masked = jnp.where(sel, qdiff, -jnp.inf)
+        red = jax.lax.reduce_window(masked, -jnp.inf, jax.lax.max,
+                                    (2, 2, 2), (2, 2, 2), "VALID").ravel()
+        total = red.shape[0]
         rows = max(1, min(16384, total // 16))
         cols = -(-total // rows)
-        flat = jnp.pad(masked, (0, rows * cols - total),
+        flat = jnp.pad(red, (0, rows * cols - total),
                        constant_values=-jnp.inf)
         v1, i1 = jax.lax.top_k(flat.reshape(rows, cols), 16)
         hts, order = jax.lax.top_k(v1.ravel(), 2048)
         return hts
 
-    timed("select+hotpx+topk extraction", jax.jit(extract), level, diff,
+    timed("select+hotpx+reduce+topk extraction", jax.jit(extract), qdiff,
           counts)
 
     seeds = timed("get_seeds total", jax.jit(lambda x: seeding.get_seeds(
