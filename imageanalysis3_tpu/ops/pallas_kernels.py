@@ -376,12 +376,18 @@ def dual_gaussian_blur(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
 
 def _blur_stencil_kernel(params_smem, axf_ref, axb_ref, wlf_ref, wrf_ref,
                          wlb_ref, wrb_ref, fg_hbm, bg_hbm,
-                         level_out, diff_out, hist_out,
+                         qdiff_out, hist_out,
                          fgv, bgv, ring_fg, ring_bg, sem,
                          *, n_lvl_static: int):
     """One (x-block, z-step): xy-blur plane k of both stacks into a 3-slot
     ring, then emit the 3^3 max/min stencil + threshold-level classification
     for plane k-1 from the ring.
+
+    The spatial output is the single `qdiff` map: `diff` where the voxel
+    qualifies (local max, inside the edge margin), `-inf` otherwise — the
+    level map is only needed for the histogram, which is accumulated
+    in-kernel, so writing it to HBM would be pure waste (get_seeds
+    re-derives any level comparison from qdiff with identical arithmetic).
 
     Geometry: ring planes carry BX+8 x-rows covering core rows [-4, BX+4)
     (the x-pass matrix has BX+8 rows), so the x-stencil has exact halo-1
@@ -496,8 +502,7 @@ def _blur_stencil_kernel(params_smem, axf_ref, axb_ref, wlf_ref, wrf_ref,
         level = jnp.clip(level, 0, n_lvl)
         level = jnp.where(qualify, level, n_lvl)
 
-        level_out[0] = level.astype(jnp.int8)
-        diff_out[0] = diff
+        qdiff_out[0] = jnp.where(qualify, diff, -jnp.inf)
 
         # per-level counts accumulated across z steps (the (8, 128) block
         # satisfies the TPU tile minimum; only sublane 0 is meaningful)
@@ -519,11 +524,13 @@ def fused_seed_classify(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
                         min_edge_distance: int = 2,
                         block_x: int = 64,
                         interpret: bool = False
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Seeding classifier in one fused pass: returns (level int8, diff f32,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Seeding classifier in one fused pass: returns (qdiff f32,
     counts (n_lvl,)) with the exact semantics of the unfused
     ops/seeding.py path (gaussian blurs sigma_fg/sigma_bg, 3^3 stencil,
     dynamic-threshold level map) for min_edge_distance >= 1, filt_size 3.
+    `qdiff` is the foreground-background signal where the voxel qualifies
+    as a seed candidate and -inf elsewhere.
 
     Structure: (1) pad raw once in x/y (symmetric); (2) both z-passes as
     ONE banded-matmul einsum reading the padded raw a single time;
@@ -564,7 +571,7 @@ def fused_seed_classify(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
                         jnp.float32(z), jnp.float32(x), jnp.float32(y)])
 
     gx = x // block_x
-    level, diff, hist = pl.pallas_call(
+    qdiff, hist = pl.pallas_call(
         partial(_blur_stencil_kernel, n_lvl_static=n_lvl),
         grid=(gx, z + 1),
         in_specs=[
@@ -581,12 +588,9 @@ def fused_seed_classify(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
         out_specs=[
             pl.BlockSpec((1, block_x, y),
                          lambda i, k: (jnp.maximum(k - 1, 0), i, 0)),
-            pl.BlockSpec((1, block_x, y),
-                         lambda i, k: (jnp.maximum(k - 1, 0), i, 0)),
             pl.BlockSpec((1, 8, 128), lambda i, k: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((z, x, y), jnp.int8),
             jax.ShapeDtypeStruct((z, x, y), jnp.float32),
             jax.ShapeDtypeStruct((gx, 8, 128), jnp.int32),
         ],
@@ -600,4 +604,4 @@ def fused_seed_classify(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
         interpret=interpret,
     )(params, axf, axb, wlf, wrf, wlb, wrb, fgbg[0], fgbg[1])
     counts = jnp.sum(hist[:, 0, :n_lvl], axis=0)
-    return level, diff, counts
+    return qdiff, counts

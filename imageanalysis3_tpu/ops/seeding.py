@@ -54,9 +54,9 @@ def _level_diff_hist(tile: jnp.ndarray, th_seed, x0, core_x: int,
 
     `tile`: (Z, core_x + 2*halo, Y) f32 with `halo` columns of valid
     neighbor data (or boundary padding) on each side; `x0` is the global x
-    index of the first core column.  Returns the core slab's level map
-    (int8; n_lvl = disqualified), its signal heights (f32), and the
-    per-level histogram of qualifying pixels.
+    index of the first core column.  Returns the core slab's qualified
+    signal map (f32; -inf = disqualified) and the per-level histogram of
+    qualifying pixels.
     """
     max_im = gaussian_filter(tile, gfilt_size) if gfilt_size else tile
     min_im = (gaussian_filter(tile, background_gfilt_size)
@@ -70,7 +70,13 @@ def _classify_from_blurs(max_im, min_im, th_seed, x0, core_x: int,
                          full_shape, filt_size: int,
                          min_edge_distance: int, n_lvl: int):
     """Stencil + threshold-level classification given the two blurred
-    stacks (the post-blur half of `_level_diff_hist`)."""
+    stacks (the post-blur half of `_level_diff_hist`).
+
+    Returns (qdiff, hist): `qdiff` is the foreground-background signal
+    where the voxel qualifies as a candidate (local max, inside the edge
+    margin) and -inf elsewhere; `hist` counts qualifying voxels per
+    threshold-decay level.
+    """
     from .filters import _window_reduce_interior
 
     halo = (max_im.shape[1] - core_x) // 2
@@ -115,7 +121,7 @@ def _classify_from_blurs(max_im, min_im, th_seed, x0, core_x: int,
     # is ~77x slower on TPU (measured 2.24s vs 0.03s at 250M px)
     hist = jnp.stack([jnp.sum((level == i).astype(jnp.int32))
                       for i in range(n_lvl)])
-    return level, diff, hist
+    return jnp.where(qualify, diff, -jnp.inf), hist
 
 
 @partial(jax.jit, static_argnames=(
@@ -183,7 +189,7 @@ def get_seeds(im: jnp.ndarray,
     if use_fused:
         from .pallas_kernels import fused_seed_classify
 
-        level, diff, counts = fused_seed_classify(
+        qdiff, counts = fused_seed_classify(
             imf, gfilt_size, background_gfilt_size, th_seed, n_lvl,
             min_edge_distance=min_edge_distance)
     elif use_pallas:
@@ -191,7 +197,7 @@ def get_seeds(im: jnp.ndarray,
 
         max_im, min_im = dual_gaussian_blur(imf, gfilt_size,
                                             background_gfilt_size)
-        level, diff, counts = _classify_from_blurs(
+        qdiff, counts = _classify_from_blurs(
             max_im, min_im, th_seed, 0, shape[1], shape, filt_size,
             min_edge_distance, n_lvl)
     elif shape[1] > 2 * slab_x and shape[1] % slab_x == 0:
@@ -206,12 +212,11 @@ def get_seeds(im: jnp.ndarray,
             return _level_diff_hist(tile, args[0], i * slab_x, slab_x,
                                     shape, *args[1:])
 
-        level, diff, hists = jax.lax.map(one, jnp.arange(n_slab))
-        level = jnp.moveaxis(level, 0, 1).reshape(shape)
-        diff = jnp.moveaxis(diff, 0, 1).reshape(shape)
+        qdiff, hists = jax.lax.map(one, jnp.arange(n_slab))
+        qdiff = jnp.moveaxis(qdiff, 0, 1).reshape(shape)
         counts = jnp.sum(hists, axis=0)
     else:
-        level, diff, counts = _level_diff_hist(
+        qdiff, counts = _level_diff_hist(
             imf, args[0], 0, shape[1], shape, *args[1:])
 
     cum = jnp.cumsum(counts)
@@ -220,13 +225,19 @@ def get_seeds(im: jnp.ndarray,
     chosen = jnp.where(jnp.any(reach), jnp.argmax(reach), n_lvl - 1)
     th = jnp.maximum(jnp.asarray(th_seed, jnp.float32), 1e-6)
     chosen_th = th * (1.0 - chosen.astype(jnp.float32) / n_lvl)
-    sel = level <= chosen.astype(jnp.int8)
+    chosen_f = chosen.astype(jnp.float32)
 
+    def in_budget(q):
+        """level(q) <= chosen, with the classification's exact arithmetic
+        (q = -inf maps to level +inf -> excluded; the level clip to
+        [0, n_lvl] is a no-op for this comparison since chosen >= 0)."""
+        return jnp.ceil((1.0 - q / th) * n_lvl) <= chosen_f
+
+    sel = in_budget(qdiff)
     if remove_hot_pixel:
         xy_counts = jnp.sum(sel.astype(jnp.int32), axis=0)   # (X, Y)
-        sel = sel & (xy_counts[None] < hot_pixel_th)
-
-    n_sel = jnp.sum(sel.astype(jnp.int32))
+        hot_ok = xy_counts < hot_pixel_th
+        sel = sel & hot_ok[None]
 
     # brightest-first extraction: 2x2x2 block-max reduce, then
     # hierarchical top_k over the 8x-smaller array (a cumsum-based
@@ -237,16 +248,17 @@ def get_seeds(im: jnp.ndarray,
     # in-budget seed; the winner's exact voxel is recovered from the 8
     # block members afterwards.  Exact up to (a) such ties and (b)
     # > row_cap in-budget seeds sharing one reduced row (vanishingly
-    # rare at real densities).
-    masked = jnp.where(sel, diff, -jnp.inf)
+    # rare at real densities).  The mask and odd-size padding feed the
+    # strided reduce_window directly (XLA fuses elementwise producers
+    # into reduce-window) so no masked copy of the stack materializes;
+    # a reshape-based reduce would instead materialize a lane-padded
+    # tiled copy (60 GB at FOV scale).
+    masked = jnp.where(sel, qdiff, -jnp.inf)
     pz, px, py = (-shape[0]) % 2, (-shape[1]) % 2, (-shape[2]) % 2
-    mp = jnp.pad(masked, ((0, pz), (0, px), (0, py)),
-                 constant_values=-jnp.inf)
     z2, x2, y2 = [(s + p) // 2 for s, p in zip(shape, (pz, px, py))]
-    # strided reduce_window, NOT a reshape: reshaping to (..., 2) minor
-    # dims materializes a lane-padded tiled copy (60 GB at FOV scale)
-    red = jax.lax.reduce_window(mp, -jnp.inf, jax.lax.max,
-                                (2, 2, 2), (2, 2, 2), "VALID").ravel()
+    red = jax.lax.reduce_window(masked, -jnp.inf, jax.lax.max,
+                                (2, 2, 2), (2, 2, 2),
+                                ((0, pz), (0, px), (0, py))).ravel()
     total = red.shape[0]
     row_cap = 16
     rows = max(1, min(16384, total // row_cap))
@@ -256,6 +268,9 @@ def get_seeds(im: jnp.ndarray,
     v1, i1 = jax.lax.top_k(flat.reshape(rows, cols), min(row_cap, cols))
     flat1 = (jnp.arange(rows, dtype=jnp.int32) * cols)[:, None] \
         + i1.astype(jnp.int32)
+    # candidate count from the per-row top-k table (exact up to the same
+    # > row_cap-per-row caveat); avoids another full-stack reduce
+    n_sel = jnp.sum(jnp.isfinite(v1).astype(jnp.int32))
     k2 = min(max_num_seeds, int(v1.size))
     hts, order = jax.lax.top_k(v1.ravel(), k2)
     block_idx = flat1.ravel()[order]
@@ -268,12 +283,22 @@ def get_seeds(im: jnp.ndarray,
     brem = block_idx % (x2 * y2)
     bx = brem // y2
     by = brem % y2
-    # winner voxel among the block's 8 members
+    # winner voxel among the block's 8 members: gather qdiff + the hot
+    # map at the member voxels and re-apply the budget/hot masks there
+    # (the full `masked` array is never materialized)
     offs = np.indices((2, 2, 2)).reshape(3, 8).T            # (8, 3)
     cz = bz[:, None] * 2 + offs[None, :, 0]
     cx = bx[:, None] * 2 + offs[None, :, 1]
     cy = by[:, None] * 2 + offs[None, :, 2]
-    cand = mp[cz, cx, cy]                                    # (cap, 8)
+    inb = (cz < shape[0]) & (cx < shape[1]) & (cy < shape[2])
+    czc = jnp.minimum(cz, shape[0] - 1)
+    cxc = jnp.minimum(cx, shape[1] - 1)
+    cyc = jnp.minimum(cy, shape[2] - 1)
+    cand_q = qdiff[czc, cxc, cyc]                            # (cap, 8)
+    cand_ok = inb & in_budget(cand_q)
+    if remove_hot_pixel:
+        cand_ok = cand_ok & (xy_counts[cxc, cyc] < hot_pixel_th)
+    cand = jnp.where(cand_ok, cand_q, -jnp.inf)
     pick = jnp.argmax(cand, axis=1)
     coords = jnp.stack([cz[jnp.arange(cz.shape[0]), pick],
                         cx[jnp.arange(cz.shape[0]), pick],

@@ -167,7 +167,7 @@ def sharded_correct_and_seed(im: jnp.ndarray, mesh: Mesh,
 
         # --- seeding level pass on the halo-extended shard
         tile = halo_exchange(imf, halo, axis_name)
-        level, diff, hist = _level_diff_hist(
+        qdiff, hist = _level_diff_hist(
             tile, th_seed, x0, shard_x, (z, x, y), gfilt_size,
             background_gfilt_size, filt_size, min_edge_distance, n_lvl)
         counts = jax.lax.psum(hist, axis_name)
@@ -176,13 +176,16 @@ def sharded_correct_and_seed(im: jnp.ndarray, mesh: Mesh,
         chosen = jnp.where(jnp.any(reach), jnp.argmax(reach), n_lvl - 1)
         th = jnp.maximum(jnp.asarray(th_seed, jnp.float32), 1e-6)
         chosen_th = th * (1.0 - chosen.astype(jnp.float32) / n_lvl)
-        sel = level <= chosen.astype(jnp.int8)
+        # level(q) <= chosen with the classification's exact arithmetic
+        # (q = -inf maps to +inf level -> excluded)
+        sel = (jnp.ceil((1.0 - qdiff / th) * n_lvl)
+               <= chosen.astype(jnp.float32))
         xy_counts = jnp.sum(sel.astype(jnp.int32), axis=0)
         sel = sel & (xy_counts[None] < 3)
         n_sel = jax.lax.psum(jnp.sum(sel.astype(jnp.int32)), axis_name)
 
         # local top-k then global top-k over the gathered candidates
-        masked = jnp.where(sel, diff, -jnp.inf).ravel()
+        masked = jnp.where(sel, qdiff, -jnp.inf).ravel()
         k_local = min(max_num_seeds, masked.shape[0])
         v1, i1 = jax.lax.top_k(masked, k_local)
         zc = i1 // (shard_x * y)
@@ -514,7 +517,7 @@ def sharded_process_round(ims: jnp.ndarray, ref_im: jnp.ndarray,
         for ci in fit_idx:
             imf = corrected[ci]
             tile = halo_exchange(imf, halo, axis_name)
-            level, diff, hist = _level_diff_hist(
+            qdiff, hist = _level_diff_hist(
                 tile, th[ci], x0, shard_x, (z, x, y), gfilt_size,
                 background_gfilt_size, filt_size, min_edge_distance,
                 n_lvl)
@@ -523,10 +526,12 @@ def sharded_process_round(ims: jnp.ndarray, ref_im: jnp.ndarray,
             reach = cum >= min_dynamic_seeds
             chosen = jnp.where(jnp.any(reach), jnp.argmax(reach),
                                n_lvl - 1)
-            sel = level <= chosen.astype(jnp.int8)
+            th_c = jnp.maximum(jnp.asarray(th[ci], jnp.float32), 1e-6)
+            sel = (jnp.ceil((1.0 - qdiff / th_c) * n_lvl)
+                   <= chosen.astype(jnp.float32))
             xy_counts = jnp.sum(sel.astype(jnp.int32), axis=0)
             sel = sel & (xy_counts[None] < 3)
-            masked = jnp.where(sel, diff, -jnp.inf).ravel()
+            masked = jnp.where(sel, qdiff, -jnp.inf).ravel()
             k_local = min(max_num_seeds, masked.shape[0])
             v1, i1 = jax.lax.top_k(masked, k_local)
             zc = i1 // (shard_x * y)

@@ -64,8 +64,9 @@ def test_dual_gaussian_blur_parity_interpret():
 
 def test_fused_seed_classify_parity_interpret():
     """Fully fused blur+stencil classifier (interpret mode) matches the
-    unfused XLA level pass: identical level map and counts up to f32
-    summation-order ties at level boundaries (< 1e-5 of voxels)."""
+    unfused XLA qualified-signal pass: identical qualification and
+    signal values up to f32 summation-order ties at stencil boundaries
+    (< 1e-5 of voxels)."""
     from imageanalysis3_tpu.ops import seeding
     from imageanalysis3_tpu.ops.pallas_kernels import fused_seed_classify
 
@@ -73,12 +74,13 @@ def test_fused_seed_classify_parity_interpret():
     im = jnp.asarray(rng.integers(50, 3000, (12, 64, 256))
                      .astype(np.float32))
     shape = (12, 64, 256)
-    l0, d0, c0 = seeding._level_diff_hist(
+    q0, c0 = seeding._level_diff_hist(
         im, 300.0, 0, shape[1], shape, 0.75, 7.5, 3, 2, 10)
-    l1, d1, c1 = fused_seed_classify(
+    q1, c1 = fused_seed_classify(
         im, 0.75, 7.5, 300.0, 10, min_edge_distance=2, interpret=True)
-    l0, l1 = np.asarray(l0), np.asarray(l1)
-    assert (l0 == l1).mean() > 1 - 1e-5
-    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
-                               rtol=1e-4, atol=0.05)
+    q0, q1 = np.asarray(q0), np.asarray(q1)
+    same_qual = np.isfinite(q0) == np.isfinite(q1)
+    assert same_qual.mean() > 1 - 1e-5
+    both = np.isfinite(q0) & np.isfinite(q1)
+    np.testing.assert_allclose(q1[both], q0[both], rtol=1e-4, atol=0.05)
     assert abs(int(np.asarray(c1).sum()) - int(np.asarray(c0).sum())) <= 2
