@@ -440,9 +440,12 @@ class ExperimentDriver:
             t0 = time.perf_counter()
             if prev_im is None:
                 prev_im = pipe.correct_reference(ims)
-            res = pipe.process_round(ims, prev_im)
+            # one fused program corrects, registers, fits AND returns the
+            # corrected drift channel as the next round's registration
+            # target — sequential mode runs exactly one correction per
+            # round (round-3 review flagged the double correction here)
+            res, prev_im = pipe.process_round_returning_ref(ims, prev_im)
             step = np.asarray(res.drift)
-            prev_im = pipe.correct_reference(ims)
             prev_plan = plan
             jax.block_until_ready((res, prev_im))
             self.timings.add("process_round", time.perf_counter() - t0,

@@ -204,9 +204,10 @@ class FovPipeline:
                 max_neighbors=fit_cfg.max_neighbors)
             return res.spots, res.valid
 
-        def process(ims, ref_im, th_seeds):
+        def process_full(ims, ref_im, th_seeds):
             """ims: (C, Z, X, Y) raw; ref_im: (Z, X, Y) corrected reference
-            drift-channel image; th_seeds: (C,) per-channel thresholds."""
+            drift-channel image; th_seeds: (C,) per-channel thresholds.
+            Returns (RoundResult, corrected drift-channel stack)."""
             corrected = correct(ims)
             drift, flag = drift_of(corrected[drift_idx], ref_im)
             spots_list, valid_list, corr_list = [], [], []
@@ -221,7 +222,11 @@ class FovPipeline:
             corrected_spots = jnp.stack(corr_list)
             valid = jnp.stack(valid_list)
             return RoundResult(spots=corrected_spots, raw_spots=raw,
-                               valid=valid, drift=drift, drift_flag=flag)
+                               valid=valid, drift=drift,
+                               drift_flag=flag), corrected[drift_idx]
+
+        def process(ims, ref_im, th_seeds):
+            return process_full(ims, ref_im, th_seeds)[0]
 
         # the donated raw stack has no matching output to alias, so jax
         # warns on every call; the donation still lets XLA recycle the
@@ -236,6 +241,11 @@ class FovPipeline:
         self.correct_jit = jax.jit(correct)
         self.drift_jit = jax.jit(drift_of)
         self.fit_jit = jax.jit(fit_channel)
+        # sequential-drift mode needs the corrected drift channel back as
+        # the next round's registration target — one program, no second
+        # correction pass (jit compiles lazily, so the unused variant in
+        # either mode costs nothing)
+        self._process_ref = jax.jit(process_full, donate_argnums=(0,))
         # the raw stack is consumed by the first correction stage; donating
         # it keeps only one copy of the FOV live in HBM per dispatch
         return jax.jit(process, donate_argnums=(0,))
@@ -272,6 +282,15 @@ class FovPipeline:
         (either the corrected image or `prepare_reference` spectra)."""
         return self._process(jnp.asarray(ims), jnp.asarray(ref_im),
                              self.seed_thresholds)
+
+    def process_round_returning_ref(self, ims, ref_im
+                                    ) -> Tuple[RoundResult, jnp.ndarray]:
+        """`process_round` that also returns the corrected drift-channel
+        stack, for sequential drift mode where each round is the next
+        round's registration target — avoids the reference re-correction
+        the driver would otherwise run (one correction per round)."""
+        return self._process_ref(jnp.asarray(ims), jnp.asarray(ref_im),
+                                 self.seed_thresholds)
 
     def process_rounds(self, ims, ref_im, mesh: Optional[Mesh] = None,
                        ) -> RoundResult:
