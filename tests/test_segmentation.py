@@ -83,6 +83,38 @@ def test_find_candidate_chromosomes():
         assert d < 2.0
 
 
+def test_find_candidate_chromosomes_per_cell_adaptive():
+    """One dim and one bright nucleus must BOTH reach
+    expected_per_nucleus — the per-cell threshold selection must not
+    starve the dim nucleus at a global (median-nucleus) level
+    (reference per-cell loop, segmentation_tools/chromosome.py:51-486)."""
+    rng = np.random.default_rng(5)
+    centers = np.array([[6, 24, 24], [6, 70, 70]], float)
+    im, _ = _nuclei_image(rng, centers=centers)
+    labels, _, _ = SG.segment_nuclei(
+        jnp.asarray(im), smooth_sigma=2.0, seed_min_distance=15.0,
+        max_num_nuclei=16, min_size_voxels=100, max_iters=64)
+    offsets = np.array([[0, -4, -4], [0, 4, 4]], float)
+    # nucleus 1: bright foci (3000); nucleus 2: 10x dimmer foci (300),
+    # still above the decayed per-cell floor but far below any global
+    # threshold the bright nucleus would set
+    chrom_centers = np.concatenate([c + offsets for c in centers])
+    heights = np.array([3000.0, 3000.0, 300.0, 300.0])
+    chrom = syn.render_gaussian_spots(
+        (12, 96, 96), chrom_centers, heights,
+        np.tile([1.2, 1.6, 1.6], (4, 1)), background=50.0)
+    coords, nuc_labels, counts = SG.find_candidate_chromosomes(
+        jnp.asarray(chrom.astype(np.float32)), labels,
+        expected_per_nucleus=2, th_seed=800.0)
+    assert sorted(counts.values()) == [2, 2]
+    for c in chrom_centers:
+        d = np.linalg.norm(coords - c, axis=1).min()
+        assert d < 2.0
+    # dim foci mapped to the dim nucleus, not duplicated on the bright one
+    dim_label = labels[6, 70, 70]
+    assert (np.asarray(nuc_labels) == int(dim_label)).sum() == 2
+
+
 # ---------------------------------------------------------------------------
 # Segmentation depth (reference segmentation_tools/cell.py:31-362, 614-656)
 # ---------------------------------------------------------------------------
