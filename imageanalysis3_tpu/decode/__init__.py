@@ -11,6 +11,8 @@ from .merfish import (Codebook, build_codebook, MerfishDecoder,
 from .dna_decoder import DNAMerfishDecoder, batch_decode
 from .homolog import (init_homolog_centers, assign_groups_to_homologs,
                       decode_chromosome_homologs, HomologResult)
+from .picker import (SpotPicker, batch_pick_spots, cdf_scores,
+                     prepare_score_metrics_by_chr)
 
 __all__ = [
     "naive_pick_spots", "dynamic_pick_spots", "em_pick_spots",
@@ -24,4 +26,6 @@ __all__ = [
     "DNAMerfishDecoder", "batch_decode", "init_homolog_centers",
     "assign_groups_to_homologs", "decode_chromosome_homologs",
     "HomologResult",
+    "SpotPicker", "batch_pick_spots", "cdf_scores",
+    "prepare_score_metrics_by_chr",
 ]
