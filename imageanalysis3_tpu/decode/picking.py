@@ -165,6 +165,11 @@ class EMPickResult(NamedTuple):
     scores: jnp.ndarray      # (R,) picked spot scores
     n_iters: jnp.ndarray     # () int32 EM iterations run
     change_ratio: jnp.ndarray  # () f32 final change ratio
+    # (C,) int32: picks hard-invalidated because a cross-chromosome
+    # contest was still unresolved after n_resolve_rounds (exclusive
+    # picker only; zeros elsewhere).  Nonzero values mean regions came
+    # back empty that more resolve rounds might have filled.
+    n_unresolved: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("num_iters", "local_size"))
@@ -339,11 +344,16 @@ def em_pick_spots_exclusive(cand_spots: jnp.ndarray,
         counts = jnp.sum(onehot, axis=0)
         pick_sc = jnp.where(onehot, sc, -jnp.inf)
         winner = jnp.argmax(pick_sc, axis=0)
-        keep = ~(onehot & (counts[None] > 1)
-                 & (jnp.arange(c)[:, None, None] != winner[None]))
+        residual_loser = (onehot & (counts[None] > 1)
+                          & (jnp.arange(c)[:, None, None] != winner[None]))
+        keep = ~residual_loser
         sel_valid = picked_ok & jnp.take_along_axis(
             keep, idx[..., None], axis=2)[..., 0]
-        return idx, sel_valid, sc
+        # per-chromosome count of hard-invalidated picks (residual
+        # contests the bounded resolve rounds did not settle)
+        n_unresolved = jnp.sum(residual_loser, axis=(1, 2)).astype(
+            jnp.int32)
+        return idx, sel_valid, sc, n_unresolved
 
     # init: per-chromosome naive pick (ties resolved by the first M-step)
     sel0 = jax.vmap(lambda ctr: jnp.argmax(
@@ -351,20 +361,20 @@ def em_pick_spots_exclusive(cand_spots: jnp.ndarray,
         axis=1))(centers)                                      # (C, R)
 
     def cond(state):
-        it, _idx, _v, change = state
+        it, _idx, _v, change, _nu = state
         return (it < num_iters) & (change >= terminate_th)
 
     def body(state):
-        it, idx, _v, _change = state
-        new_idx, sel_valid, _sc = m_step(idx)
+        it, idx, _v, _change, _nu = state
+        new_idx, sel_valid, _sc, n_unres = m_step(idx)
         changed = jnp.sum((new_idx != idx) & has_any[None])
         ratio = changed.astype(jnp.float32) / (
             c * n_regions).astype(jnp.float32)
-        return it + 1, new_idx, sel_valid, ratio
+        return it + 1, new_idx, sel_valid, ratio, n_unres
 
     state0 = (jnp.int32(0), sel0, jnp.zeros((c, r), bool),
-              jnp.float32(1.0))
-    it, sel_idx, sel_valid, change = jax.lax.while_loop(
+              jnp.float32(1.0), jnp.zeros((c,), jnp.int32))
+    it, sel_idx, sel_valid, change, n_unresolved = jax.lax.while_loop(
         cond, body, state0)
 
     def finalize(idx, ok_c):
@@ -380,7 +390,8 @@ def em_pick_spots_exclusive(cand_spots: jnp.ndarray,
     return EMPickResult(trace=trace, sel_idx=sel_idx, sel_valid=sel_ok,
                         scores=picked_sc,
                         n_iters=jnp.broadcast_to(it, (c,)),
-                        change_ratio=jnp.broadcast_to(change, (c,)))
+                        change_ratio=jnp.broadcast_to(change, (c,)),
+                        n_unresolved=n_unresolved)
 
 
 def build_candidate_table(spots_by_region, capacity: Optional[int] = None):

@@ -297,6 +297,20 @@ def test_em_exclusive_contested_candidate():
     others[contested] = False
     assert (sel[0][others] == 0).mean() >= 0.9
     assert (sel[1][others] == 1).mean() >= 0.9
+    # the resolve rounds settled every contest — no hard invalidations
+    assert np.asarray(res.n_unresolved).sum() == 0
+
+    # with zero resolve rounds the same contest CANNOT settle: the loser
+    # is hard-invalidated and the surfaced counter reports it
+    res0 = P.em_pick_spots_for_chromosomes(
+        jnp.asarray(cand), jnp.asarray(valid), jnp.asarray(ids), centers,
+        share_spots=False, n_resolve_rounds=0)
+    assert np.asarray(res0.n_unresolved).sum() >= 1
+    v0 = np.asarray(res0.sel_valid)
+    s0 = np.asarray(res0.sel_idx)
+    # still never double-assigned even on the unresolved path
+    both = v0[0] & v0[1] & (s0[0] == s0[1])
+    assert not both.any()
 
 
 def test_em_exclusive_matches_shared_when_disjoint():
