@@ -15,8 +15,13 @@ enter through the ordinary array APIs instead.
 
 from .plots import (plot_distance_map, plot_boundaries, plot_projection,
                     plot_decode_stats, plot_spot_overlay,
-                    plot_segmentation_labels)
+                    plot_segmentation_labels, plot_cell_spot_counts)
+from .render3d import (normalize_center_spots,
+                       chromosome_structure_3d_rendering,
+                       visualize_chromosome_3d_cloud, spots_to_density)
 
 __all__ = ["plot_distance_map", "plot_boundaries", "plot_projection",
            "plot_decode_stats", "plot_spot_overlay",
-           "plot_segmentation_labels"]
+           "plot_segmentation_labels", "plot_cell_spot_counts",
+           "normalize_center_spots", "chromosome_structure_3d_rendering",
+           "visualize_chromosome_3d_cloud", "spots_to_density"]

@@ -159,3 +159,30 @@ def plot_segmentation_labels(labels: np.ndarray, z: Optional[int] = None,
     if save_path:
         ax.figure.savefig(save_path, transparent=True)
     return ax
+
+
+def plot_cell_spot_counts(cell_spot_counts: np.ndarray, ax=None,
+                          expected_count: int = 60,
+                          figure_dpi: int = 150,
+                          cmap: str = "Spectral_r",
+                          save_path: Optional[str] = None):
+    """Per-(cell, bit) candidate-spot count matrix with a colorbar
+    (reference plot_cell_spot_counts,
+    figure_tools/plot_partition.py:8-50): rows are cells, columns are
+    readout bits, color saturates at `expected_count`.  Feed it the
+    counts from analysis/partition.py count_genes."""
+    counts = np.atleast_2d(np.asarray(cell_spot_counts))
+    if ax is None:
+        _, ax = plt.subplots(figsize=(4, 3), dpi=figure_dpi)
+    im = ax.imshow(counts, cmap=cmap, vmin=0, vmax=expected_count,
+                   aspect="auto", interpolation="nearest")
+    ax.set_xlabel("Bit", fontsize=8, labelpad=1)
+    ax.set_ylabel("Cell id", fontsize=8, labelpad=0)
+    ax.tick_params("both", labelsize=8, width=0.5, length=2, pad=1)
+    cbar = plt.colorbar(im, ax=ax, fraction=0.07, pad=0.05)
+    cbar.set_label("CandSpots count", fontsize=7.5, labelpad=6,
+                   rotation=270)
+    cbar.ax.tick_params("both", labelsize=8, width=0.5, length=2, pad=1)
+    if save_path:
+        ax.figure.savefig(save_path, transparent=True)
+    return ax

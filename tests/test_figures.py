@@ -50,3 +50,78 @@ def test_plot_decode_stats_and_labels(tmp_path):
     FG.plot_segmentation_labels(labels, save_path=p2)
     import os
     assert os.path.getsize(p) > 1000 and os.path.getsize(p2) > 1000
+
+
+def _polymer_spots(n=40, seed=0, missing=(7, 8, 21)):
+    rng = np.random.default_rng(seed)
+    zxy = np.cumsum(rng.normal(0, 120, (n, 3)), axis=0)
+    zxy -= zxy.mean(0)
+    spots = np.column_stack([rng.uniform(500, 2000, n), zxy / 108.0])
+    spots[list(missing)] = np.nan
+    return spots
+
+
+def test_normalize_center_spots_pca():
+    spots = _polymer_spots()
+    out = FG.normalize_center_spots(spots, pca_align=True)
+    valid = ~np.isnan(out).any(1)
+    # centered
+    np.testing.assert_allclose(np.nanmean(out[valid], 0), 0, atol=1e-6)
+    # PCA-aligned: covariance is diagonal with descending variance
+    cov = np.cov(out[valid].T)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 1e-6 * np.diag(cov).max()
+    d = np.diag(cov)
+    assert d[0] >= d[1] >= d[2]
+    # NaN rows preserved
+    assert np.isnan(out[7]).all()
+
+
+def test_chromosome_3d_rendering_smoke(tmp_path):
+    import os
+    import matplotlib.pyplot as plt
+    spots = _polymer_spots()
+    p = str(tmp_path / "trace3d.png")
+    ax, cb = FG.chromosome_structure_3d_rendering(
+        spots, image_radius=1500.0, save_path=p)
+    assert os.path.getsize(p) > 1000
+    # the trace must actually be rendered: a real image has thousands of
+    # colored (non-black, non-white) pixels; a collapsed/empty rendering
+    # (e.g. wrong unit scaling) has almost none beyond the colorbar
+    img = plt.imread(p)[..., :3]
+    colored = ((img.max(-1) - img.min(-1)) > 0.08).sum()
+    assert colored > 4000, f"only {colored} colored pixels rendered"
+    # domain-colored variant via explicit colors
+    colors = np.tile([[1.0, 0, 0], [0, 0, 1.0]], (20, 1))[:40]
+    p2 = str(tmp_path / "trace3d_dom.png")
+    FG.chromosome_structure_3d_rendering(
+        spots, colors=colors, add_colorbar=False, save_path=p2)
+    assert os.path.getsize(p2) > 1000
+
+
+def test_chromosome_3d_cloud(tmp_path):
+    import os
+    rng = np.random.default_rng(3)
+    # two well-separated compartments
+    a = rng.normal([-800, -800, 0], 150, (25, 3))
+    b = rng.normal([800, 800, 0], 150, (25, 3))
+    zxy = np.concatenate([a, b])
+    comp = {"A": np.arange(25), "B": np.arange(25, 50)}
+    p = str(tmp_path / "cloud.png")
+    ax, den = FG.visualize_chromosome_3d_cloud(
+        zxy, comp, im_radius=16, voxel_nm=150.0, center=False,
+        save_path=p, return_density=True)
+    assert os.path.getsize(p) > 1000
+    # each compartment's density peaks on its own side
+    ca = np.unravel_index(np.argmax(den["A"]), den["A"].shape)
+    cb_ = np.unravel_index(np.argmax(den["B"]), den["B"].shape)
+    assert ca[1] < 16 <= cb_[1]
+
+
+def test_plot_cell_spot_counts(tmp_path):
+    import os
+    rng = np.random.default_rng(1)
+    counts = rng.integers(0, 80, (12, 16))
+    p = str(tmp_path / "partition.png")
+    FG.plot_cell_spot_counts(counts, expected_count=60, save_path=p)
+    assert os.path.getsize(p) > 1000
