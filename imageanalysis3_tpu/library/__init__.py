@@ -14,6 +14,8 @@ from .readouts import (extend_readout, filter_readout, search_candidates,
                        max_shared_run, screen_readouts_by_genome,
                        nussinov_max_pairs, screen_readouts_by_structure,
                        split_readouts_into_channels, generate_adaptors)
+from .reports import (ProbeDesigner, MapSpec, select_primer_pair,
+                      check_library, parse_probe_sequence)
 
 __all__ = [
     "seq2int", "seq2int_rc", "seq_to_kmer_ints", "count_kmers_dense",
@@ -29,4 +31,6 @@ __all__ = [
     "max_shared_run", "screen_readouts_by_genome", "nussinov_max_pairs",
     "screen_readouts_by_structure", "split_readouts_into_channels",
     "generate_adaptors",
+    "ProbeDesigner", "MapSpec", "select_primer_pair", "check_library",
+    "parse_probe_sequence",
 ]

@@ -255,3 +255,135 @@ def test_repeat_masked_probe_design():
                               max_masked_fraction=0.2)
     for p in masked.probes:
         assert p.masked_fraction <= 0.2
+
+
+# ---------------------------------------------------------------------------
+# Probe reports + primer selection + assembly QC
+# (reference library_tools/design.py:270-948, assemble.py:208-752,
+#  quality_check.py:93-420)
+# ---------------------------------------------------------------------------
+
+
+def _designer_fixture(tmp_path):
+    """gff3 genome with two genes (~600 bp spliced each) and one
+    duplicated 120 bp chunk (an off-target the designer must avoid)."""
+    rng = np.random.default_rng(7)
+    genome_arr = rng.choice(list("ACGT"), 6000)
+    genome = {"chr1": "".join(genome_arr)}
+    gff = tmp_path / "genes.gff3"
+    gff.write_text("\n".join([
+        "##gff-version 3",
+        "chr1\tens\tgene\t101\t800\t.\t+\t.\tID=gene:GA;Name=GA",
+        "chr1\tens\tmRNA\t101\t800\t.\t+\t.\tID=transcript:TA;"
+        "Parent=gene:GA",
+        "chr1\tens\texon\t101\t400\t.\t+\t.\tParent=transcript:TA",
+        "chr1\tens\texon\t501\t800\t.\t+\t.\tParent=transcript:TA",
+        "chr1\tens\tgene\t1001\t1600\t.\t+\t.\tID=gene:GB;Name=GB",
+        "chr1\tens\tmRNA\t1001\t1600\t.\t+\t.\tID=transcript:TB;"
+        "Parent=gene:GB",
+        "chr1\tens\texon\t1001\t1600\t.\t+\t.\tParent=transcript:TB",
+        "", ]))
+    # duplicate GA's first 120 transcript bases far away in the genome
+    dup = genome["chr1"][100:220]
+    genome["chr1"] = genome["chr1"][:4000] + dup \
+        + genome["chr1"][4000 + len(dup):]
+    return str(gff), genome
+
+
+def test_probe_designer_end_to_end(tmp_path):
+    from imageanalysis3_tpu.library.reports import (
+        ProbeDesigner, MapSpec, select_primer_pair, check_library,
+        parse_probe_sequence, DEFAULT_MASKS)
+
+    gff, genome = _designer_fixture(tmp_path)
+    genes = LB.read_gff3(gff)
+    targets = {}
+    for gname, gene in genes.items():
+        tx = next(iter(gene.transcripts.values()))
+        targets[gname] = LB.extract_transcript_sequence(genome, tx)
+    assert len(targets) == 2 and all(len(s) >= 550
+                                     for s in targets.values())
+
+    genome_table = LB.KmerCountTable(17)
+    genome_table.consume(genome["chr1"], count_rc=False)
+    rep_table = LB.KmerCountTable(17)
+    rep_table.consume("AT" * 40, count_rc=False)     # a fake repeat lib
+
+    designer = ProbeDesigner(
+        targets,
+        maps={"genome": MapSpec(genome_table, two_stranded=True),
+              "rep_genome": MapSpec(rep_table, two_stranded=True)},
+        pb_len=42, word_size=17, buffer_len=2,
+        check_dic={
+            "gc": (0.2, 0.8),
+            "tm": 55.0,
+            "masks": list(DEFAULT_MASKS),
+            # genome hits beyond the region's own (the duplicated chunk)
+            ("genome", "self_sequences"): 10,
+            "rep_genome": 0,
+        })
+    cands = designer.compute_reports()
+    assert len(cands) > 500
+    # a candidate inside the duplicated chunk sees ~26 extra genome hits
+    dup_pb = next(pb for pb, i in cands.items()
+                  if i["reg_name"] == "GA" and i["pb_index"] == 30)
+    assert dup_pb in cands
+    extra = cands[dup_pb]["map_genome"] \
+        - cands[dup_pb]["map_self_sequences"]
+    assert extra > 10
+
+    kept = designer.check_probes()
+    by_region = designer.kept_by_region()
+    assert len(by_region["GA"]) >= 6 and len(by_region["GB"]) >= 6
+    # no kept probe overlaps the duplicated chunk [0, 120) of GA
+    for pb in by_region["GA"]:
+        i = kept[pb]
+        assert i["pb_index"] >= 120 - 42 + 1
+    # kept probes are non-overlapping with buffer spacing
+    for region, pbs in by_region.items():
+        starts = sorted(kept[pb]["pb_index"] for pb in pbs)
+        assert all(b - a >= 42 + 2 for a, b in zip(starts, starts[1:]))
+
+    # save/load roundtrip
+    p = str(tmp_path / "designer.pkl")
+    designer.save(p)
+    back = ProbeDesigner.load(p)
+    assert back.kept_probes == designer.kept_probes
+
+    # --- primers + assembly + QC
+    rng = np.random.default_rng(11)
+    prim_cands = ["".join(rng.choice(list("ACGT"), 20)) for _ in range(60)]
+    readouts = {"u": ["".join(rng.choice(list("ACGT"), 20))
+                      for _ in range(4)]}
+    region_to_readouts = {"GA": readouts["u"][:3],
+                          "GB": readouts["u"][1:4]}
+    lib_seqs = list(kept) + readouts["u"]
+    fwd, rev = select_primer_pair(prim_cands[:30], prim_cands[30:],
+                                  lib_seqs, word=12,
+                                  gc_range=(0.25, 0.75),
+                                  tm_range=(40.0, 100.0))
+    assert fwd != rev
+
+    oligos, regions = [], []
+    for region, pbs in by_region.items():
+        for pb in pbs:
+            sites = region_to_readouts[region]
+            oligos.append(fwd + "".join(sites) + pb
+                          + LB.reverse_complement(rev))
+            regions.append(region)
+    report = check_library(
+        oligos, regions, fwd, rev, readouts, region_to_readouts,
+        primer_len=20, readout_len=20, target_len=42, n_readouts=3,
+        min_region_size=6)
+    assert report["ok"], report
+
+    parts = parse_probe_sequence(oligos[0])
+    assert parts["fwd_primer"] == fwd
+    assert parts["target"] in kept
+
+    # negative: corrupt one oligo's forward primer -> primer check fails
+    bad = ["X" * 20 + oligos[0][20:]] + oligos[1:]
+    report_bad = check_library(
+        bad, regions, fwd, rev, readouts, region_to_readouts,
+        min_region_size=6)
+    assert not report_bad["primer_usage"] and not report_bad["ok"]
