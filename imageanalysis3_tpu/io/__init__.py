@@ -4,8 +4,12 @@ from .dax import (DaxMetadata, read_inf, read_dax, write_dax,
                   split_channels, interleave_channels,
                   get_num_frames_and_colors)
 from .color_usage import (ColorUsage, load_color_usage, find_hyb_folders,
-                          load_encoding_scheme, load_region_positions)
-from .store import FovStore, FLAG_EMPTY, FLAG_RAW, FLAG_CORRECTED
+                          load_encoding_scheme, load_region_positions,
+                          load_rna_info, load_gene_info, load_chip_data,
+                          match_peaks_to_regions, match_rna_to_dna,
+                          match_gene_to_dna, match_enhancers_to_dna)
+from .store import (FovStore, AsyncFovWriter, FLAG_EMPTY, FLAG_RAW,
+                    FLAG_CORRECTED)
 from .crop import ImageCrop3D, generate_neighboring_crop
 from .profiles_io import load_correction_profile, save_correction_profile
 from .spots import (spots_to_dataframe, dataframe_to_cand_spots,
@@ -18,7 +22,11 @@ __all__ = [
     "interleave_channels", "get_num_frames_and_colors",
     "ColorUsage", "load_color_usage", "find_hyb_folders",
     "load_encoding_scheme", "load_region_positions",
-    "FovStore", "FLAG_EMPTY", "FLAG_RAW", "FLAG_CORRECTED",
+    "load_rna_info", "load_gene_info", "load_chip_data",
+    "match_peaks_to_regions", "match_rna_to_dna", "match_gene_to_dna",
+    "match_enhancers_to_dna",
+    "FovStore", "AsyncFovWriter", "FLAG_EMPTY", "FLAG_RAW",
+    "FLAG_CORRECTED",
     "ImageCrop3D", "generate_neighboring_crop",
     "load_correction_profile", "save_correction_profile",
     "spots_to_dataframe", "dataframe_to_cand_spots",

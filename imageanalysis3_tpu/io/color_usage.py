@@ -34,20 +34,35 @@ class ColorUsage:
         return list(self.usage.keys())
 
     def bead_channel_index(self, bead_name: str = "beads") -> Optional[int]:
-        """Index of the channel carrying fiducial beads (constant across
-        hybs; reference get_img_info.py:496-524)."""
-        for contents in self.usage.values():
-            for i, c in enumerate(contents):
-                if c.lower() == bead_name.lower():
-                    return i
-        return None
+        """Index of the channel carrying fiducial beads.
+
+        Reference semantics (get_img_info.py:496-508 find_bead_channel):
+        the bead channel must be the SAME in every hyb folder that carries
+        beads — a non-unique bead channel raises rather than silently
+        picking the first, since registering against the wrong channel
+        corrupts every drift downstream.  Returns None when no folder
+        carries beads (the reference unconditionally indexes and throws;
+        absence is a valid bead-free configuration here).
+        """
+        return self._unique_channel_of(bead_name, "bead")
 
     def dapi_channel_index(self) -> Optional[int]:
+        """DAPI channel index, uniqueness-checked across the folders that
+        carry DAPI (reference get_img_info.py:510-524 find_dapi_channel)."""
+        return self._unique_channel_of("DAPI", "dapi")
+
+    def _unique_channel_of(self, mark: str, what: str) -> Optional[int]:
+        found = set()
         for contents in self.usage.values():
             for i, c in enumerate(contents):
-                if c.lower() == "dapi":
-                    return i
-        return None
+                if c.lower() == mark.lower():
+                    found.add(i)
+        if not found:
+            return None
+        if len(found) > 1:
+            raise ValueError(f"{what} channel not unique across hyb "
+                             f"folders: {sorted(found)}")
+        return found.pop()
 
     def regions_of(self, folder: str) -> Dict[int, str]:
         """channel index -> region/content id for data channels (excluding
@@ -135,6 +150,159 @@ def load_region_positions(analysis_folder: str,
                 if k in rec and rec[k] != "":
                     entry[k] = float(rec[k])
             out[rid] = entry
+    return out
+
+
+def _load_keyed_table(path: str, key_cast=int,
+                      int_fields: Tuple[str, ...] = (),
+                      float_fields: Tuple[str, ...] = ()) -> Dict:
+    """Shared loader for the analysis-folder keyed CSV/TSV tables
+    (RNA_Info / Gene_Info / Region_Positions style): first column is the
+    record key, remaining header columns become a per-record dict with
+    the named fields cast (reference get_img_info.py:169-434 repeats
+    this parse loop per table; trailing empty cells are stripped)."""
+    delim = "\t" if path.endswith((".tsv", ".txt")) else ","
+    out: Dict = {}
+    with open(path, "r") as fh:
+        reader = csv.reader(fh, delimiter=delim)
+        header = [h.strip() for h in next(reader)]
+        for row in reader:
+            while row and row[-1] == "":
+                row = row[:-1]
+            if len(row) <= 1:
+                continue
+            key = key_cast(row[0])
+            rec = {h: v for h, v in zip(header[1:], row[1:])}
+            for f in int_fields:
+                if f in rec and rec[f] != "":
+                    rec[f] = int(rec[f])
+            for f in float_fields:
+                if f in rec and rec[f] != "":
+                    rec[f] = float(rec[f])
+            out[key] = rec
+    return out
+
+
+def load_rna_info(analysis_folder: str, filename: str = "RNA_Info",
+                  fmt: str = "csv") -> Dict[str, Dict]:
+    """RNA_Info table: rna_id -> {gene_name, chr, strand, start, end,
+    midpoint} (reference get_img_info.py:293-362 Load_RNA_Info)."""
+    return _load_keyed_table(
+        os.path.join(analysis_folder, f"{filename}.{fmt}"),
+        key_cast=str, int_fields=("start", "end"),
+        float_fields=("midpoint",))
+
+
+def load_gene_info(analysis_folder: str, filename: str = "Gene_Info",
+                   fmt: str = "csv") -> Dict[int, Dict]:
+    """Gene_Info table: gene_id -> {gene_name, chr, TSS_position, ...}
+    (reference get_img_info.py:364-434 Load_Gene_Info)."""
+    return _load_keyed_table(
+        os.path.join(analysis_folder, f"{filename}.{fmt}"),
+        key_cast=int, int_fields=("start", "end", "TSS_position"),
+        float_fields=("midpoint",))
+
+
+def load_chip_data(analysis_folder: str, gene_name: str,
+                   postfix: str = "ChIP-Seq_chr21",
+                   fmt: str = "csv") -> List[Dict]:
+    """ChIP-seq peak list for one factor: [{chr, start, end, midpoint,
+    fold}, ...] (reference get_img_info.py:230-291 Load_ChIP_Data; the
+    file is `<gene>_<postfix>.csv` in the analysis folder)."""
+    path = os.path.join(analysis_folder, f"{gene_name}_{postfix}.{fmt}")
+    delim = "\t" if fmt in ("tsv", "txt") else ","
+    peaks: List[Dict] = []
+    with open(path, "r") as fh:
+        reader = csv.reader(fh, delimiter=delim)
+        header = [h.strip() for h in next(reader)]
+        for row in reader:
+            while row and row[-1] == "":
+                row = row[:-1]
+            if len(row) <= 1:
+                continue
+            rec = {h: v for h, v in zip(header, row)}
+            for f in ("start", "end"):
+                if f in rec:
+                    rec[f] = int(rec[f])
+            for f in ("midpoint", "fold"):
+                if f in rec:
+                    rec[f] = float(rec[f])
+            peaks.append(rec)
+    return peaks
+
+
+def match_peaks_to_regions(region_dic: Dict[int, Dict],
+                           peak_list: List[Dict],
+                           return_arrays: bool = True):
+    """Sum ChIP peak fold-enrichment into the imaged region containing
+    each peak midpoint (reference get_img_info.py:436-454
+    match_peak_to_region, including its first-containing-region-wins
+    break and the dense id axis of the array form)."""
+    import numpy as np
+
+    records = {rid: 0.0 for rid in region_dic}
+    for peak in peak_list:
+        for rid, region in region_dic.items():
+            if (region.get("chr") == peak.get("chr")
+                    and region["start"] <= peak["midpoint"]
+                    <= region["end"]):
+                records[rid] += peak.get("fold", 1.0)
+                break
+    if not return_arrays:
+        return records
+    rids = list(records)
+    rx = np.arange(int(min(rids)), int(max(rids)) + 1)
+    ry = np.zeros(len(rx))
+    for rid, signal in records.items():
+        ry[rx == rid] = signal
+    return rx, ry
+
+
+def match_rna_to_dna(rna_dic: Dict[str, Dict],
+                     region_dic: Dict[int, Dict]) -> Dict[str, Dict]:
+    """Annotate each RNA with the DNA region id whose interval contains
+    its transcription start (reference get_img_info.py:457-467
+    match_RNA_to_DNA: containment of `start`, same chromosome; the last
+    matching region wins as in the reference loop)."""
+    out = {k: dict(v) for k, v in rna_dic.items()}
+    for rec in out.values():
+        for rid, region in region_dic.items():
+            if (rec.get("chr") == region.get("chr")
+                    and region["start"] <= rec["start"] <= region["end"]):
+                rec["DNA_id"] = rid
+    return out
+
+
+def match_gene_to_dna(gene_dic: Dict[int, Dict],
+                      region_dic: Dict[int, Dict]) -> Dict[int, Dict]:
+    """Annotate each gene with the DNA region containing its TSS
+    (reference get_img_info.py:470-480 match_Gene_to_DNA; half-open
+    [start, end) as in the reference comparison)."""
+    out = {k: dict(v) for k, v in gene_dic.items()}
+    for rec in out.values():
+        for rid, region in region_dic.items():
+            if (rec.get("chr") == region.get("chr")
+                    and region["start"] <= rec["TSS_position"]
+                    < region["end"]):
+                rec["DNA_id"] = rid
+    return out
+
+
+def match_enhancers_to_dna(enhancer_dic: Dict, region_dic: Dict[int, Dict]
+                           ) -> Dict[int, Dict]:
+    """Per-region enhancer_count = sum of overlap fractions of enhancers
+    intersecting the region (reference get_img_info.py:482-493
+    match_Enhancer_to_DNA, including its endpoint-containment test)."""
+    out = {rid: dict(v, enhancer_count=0.0)
+           for rid, v in region_dic.items()}
+    for region in out.values():
+        for enh in enhancer_dic.values():
+            s, e = enh["start"], enh["end"]
+            if (region["start"] <= s < region["end"]
+                    or region["start"] <= e < region["end"]):
+                overlap = (min(e, region["end"])
+                           - max(s, region["start"]))
+                region["enhancer_count"] += overlap / float(e - s)
     return out
 
 

@@ -120,12 +120,30 @@ def read_inf(path: str) -> DaxMetadata:
 
 
 def read_dax(filename: str, meta: Optional[DaxMetadata] = None,
-             memmap: bool = True) -> Tuple[np.ndarray, DaxMetadata]:
-    """Load a .dax movie -> ((frames, H, W) uint16 array-or-memmap, meta)."""
+             memmap: bool = True,
+             out: Optional[np.ndarray] = None
+             ) -> Tuple[np.ndarray, DaxMetadata]:
+    """Load a .dax movie -> ((frames, H, W) uint16 array-or-memmap, meta).
+
+    ``out``: preallocated (frames, H, W) uint16 buffer read into in place
+    (implies memmap=False).  Reusing a staging buffer across FOVs is the
+    production input-pipeline pattern (pinned host staging for device
+    upload) and avoids per-read allocation entirely.
+    """
     if meta is None:
         meta = read_inf(filename)
     dtype = ">u2" if meta.big_endian else "<u2"
     shape = (meta.number_frames,) + meta.frame_shape
+    if out is not None:
+        if out.shape != shape or out.dtype.itemsize != 2:
+            raise ValueError(f"out buffer {out.shape}/{out.dtype} does not "
+                             f"match movie {shape} uint16")
+        with open(filename, "rb") as fh:
+            n = fh.readinto(memoryview(out).cast("B"))
+        if n != out.nbytes:
+            raise ValueError(f"short read: {n} of {out.nbytes} bytes "
+                             f"from {filename}")
+        return out.view(dtype).reshape(shape), meta
     if memmap:
         data = np.memmap(filename, dtype=dtype, mode="r", shape=shape)
     else:
@@ -142,7 +160,9 @@ def write_dax(filename: str, movie: np.ndarray,
     movie = np.asarray(movie)
     if movie.ndim != 3:
         raise ValueError(f"movie must be (frames, H, W), got {movie.shape}")
-    out = movie.astype(">u2" if big_endian else "<u2")
+    # copy=False: a movie already in the target byte order streams to
+    # disk without materializing a second multi-GB host buffer
+    out = movie.astype(">u2" if big_endian else "<u2", copy=False)
     out.tofile(filename)
     meta = DaxMetadata(number_frames=movie.shape[0],
                        image_height=movie.shape[1],
@@ -176,12 +196,17 @@ def split_channels(movie: np.ndarray,
                    n_z: int = 30,
                    buffer_frames: int = 10,
                    empty_frames: int = 0,
-                   skip_frame0: bool = False) -> List[np.ndarray]:
+                   skip_frame0: bool = False,
+                   out: Optional[List[np.ndarray]] = None
+                   ) -> List[np.ndarray]:
     """De-interleave selected channels out of a raw movie.
 
     Channel at index i starts at frame buffer+empty + (i - buffer - empty)
     mod C and strides by C for n_z frames (reference io_tools/load.py:
     524-550, including its start-offset arithmetic and skip_frame0).
+
+    ``out``: optional list of preallocated (n_z, H, W) per-channel buffers
+    copied into in place (staging-buffer reuse, see :func:`read_dax`).
     """
     all_ch = [str(c) for c in all_channels]
     sel_ch = [str(c) for c in ([sel_channels] if isinstance(
@@ -198,6 +223,13 @@ def split_channels(movie: np.ndarray,
         if skip_frame0 and s == buffer_frames:
             s += n_colors
         starts.append(s)
+    if out is not None:
+        if len(out) != len(starts):
+            raise ValueError(f"out has {len(out)} buffers for "
+                             f"{len(starts)} channels")
+        for buf, s in zip(out, starts):
+            np.copyto(buf, movie[s:s + n_z * n_colors:n_colors])
+        return list(out)
     return [np.ascontiguousarray(movie[s:s + n_z * n_colors:n_colors])
             for s in starts]
 

@@ -16,6 +16,8 @@ owns the file, so writes are plain h5py calls and resume = reading `flags`.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import h5py
@@ -219,3 +221,86 @@ class FovStore:
         if "segmentation" not in self._fh:
             return None
         return self._fh["segmentation"]["labels"][:]
+
+
+class AsyncFovWriter:
+    """Background-thread checkpoint writer over a :class:`FovStore`.
+
+    The TPU-native stand-in for a tensorstore-style async writer
+    (SURVEY §5: the reference serializes every worker's HDF5 access
+    through one RLock, classes/field_of_view.py:1014-1020; here the
+    single controller instead hands writes to one writer thread so the
+    dispatch loop never blocks on storage).  h5py serializes HDF5 calls
+    internally, so main-thread reads of rows the writer is not touching
+    are safe; :meth:`barrier` gives read-after-write ordering when a
+    row might still be queued.
+
+    Write errors are captured and re-raised on the next submit /
+    barrier / close — a checkpoint failure is never silent.
+    """
+
+    def __init__(self, store: FovStore, max_queue: int = 8):
+        self._store = store
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_queue)
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="fov-store-writer")
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                fn, args, kwargs = item
+                if self._exc is None:       # fail-stop after first error
+                    fn(*args, **kwargs)
+            except BaseException as e:      # noqa: BLE001 — re-raised later
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self):
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise RuntimeError("async checkpoint write failed") from exc
+
+    def submit(self, fn, *args, **kwargs) -> None:
+        """Enqueue `fn(*args, **kwargs)` on the writer thread."""
+        self._raise_pending()
+        self._q.put((fn, args, kwargs))
+
+    # the write surface the driver uses, mirrored 1:1 onto the store
+    def save_spots(self, *args, **kwargs) -> None:
+        self.submit(self._store.save_spots, *args, **kwargs)
+
+    def save_image(self, *args, **kwargs) -> None:
+        self.submit(self._store.save_image, *args, **kwargs)
+
+    def save_signal(self, *args, **kwargs) -> None:
+        self.submit(self._store.save_signal, *args, **kwargs)
+
+    def save_segmentation(self, *args, **kwargs) -> None:
+        self.submit(self._store.save_segmentation, *args, **kwargs)
+
+    def flush(self) -> None:
+        self.submit(self._store.flush)
+
+    def barrier(self) -> None:
+        """Block until every queued write has executed."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        """Drain the queue and stop the writer thread (store stays open)."""
+        self._q.join()
+        self._q.put(None)
+        self._thread.join()
+        self._raise_pending()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -30,7 +30,8 @@ import numpy as np
 from ..config import (ExperimentConfig, CHANNEL_SEED_THRESHOLDS)
 from ..io.color_usage import ColorUsage, load_color_usage, find_hyb_folders
 from ..io.dax import read_dax, split_channels
-from ..io.store import FovStore, FLAG_CORRECTED, FLAG_EMPTY
+from ..io.store import (FovStore, AsyncFovWriter, FLAG_CORRECTED,
+                        FLAG_EMPTY)
 from .fov import FovPipeline
 
 #: data_type <-> region-id prefix (reference classes/__init__.py:22-32)
@@ -118,7 +119,8 @@ class ExperimentDriver:
                  bead_name: str = "beads",
                  save_images: bool = False,
                  sequential_drift: bool = False,
-                 correction_folder: Optional[str] = None):
+                 correction_folder: Optional[str] = None,
+                 async_writes: bool = True):
         self.data_folder = data_folder
         self.save_folder = save_folder
         os.makedirs(save_folder, exist_ok=True)
@@ -144,6 +146,11 @@ class ExperimentDriver:
         #: corrections.py:21-278) instead of against one reference round.
         #: Robust when drift grows beyond a crop between first and last hyb.
         self.sequential_drift = bool(sequential_drift)
+        #: hand checkpoint writes to a background thread (AsyncFovWriter)
+        #: so the dispatch loop never blocks on HDF5 — the tensorstore-
+        #: style async-writer replacement for the reference's RLocked
+        #: synchronous saves (SURVEY §2.11/§5)
+        self.async_writes = bool(async_writes)
         self._pipelines: Dict[Tuple, FovPipeline] = {}
         self.timings = StageTimes()
         self._plans = self._build_plans()
@@ -347,9 +354,16 @@ class ExperimentDriver:
             if not todo:
                 return processed
 
+            # checkpoint sink: async writer thread (default) or the
+            # store directly; both expose save_spots/save_image/flush
+            sink = AsyncFovWriter(store) if self.async_writes else store
+
             if self.sequential_drift:
-                self._process_sequential(fov_name, store, pending,
-                                         processed, todo)
+                try:
+                    self._process_sequential(fov_name, store, sink,
+                                             pending, processed, todo)
+                finally:
+                    self._drain_sink(sink)
                 return processed
 
             ref_im = self._reference_image(fov_name)
@@ -377,33 +391,43 @@ class ExperimentDriver:
                     if rid not in pending[dtype]:
                         continue
                     sel = valid[ci]
-                    store.save_spots(dtype, rid, spots[ci][sel],
-                                     raw[ci][sel], drift,
-                                     flag=FLAG_CORRECTED, drift_flag=dflag)
+                    sink.save_spots(dtype, rid, spots[ci][sel],
+                                    raw[ci][sel], drift,
+                                    flag=FLAG_CORRECTED, drift_flag=dflag)
                     if corrected_ims is not None:
-                        store.save_image(dtype, rid, corrected_ims[ci])
+                        sink.save_image(dtype, rid, corrected_ims[ci])
                     processed[dtype] += 1
-                store.flush()
+                sink.flush()
                 self.timings.add("save", time.perf_counter() - t0)
 
             # one-round readahead: dispatch round r+1 to the device before
             # blocking/persisting round r, so host dax reads and HDF5
             # writes overlap device compute (the TPU analog of the
             # reference worker pool, classes/field_of_view.py:1128-1142)
-            in_flight = None
-            for plan in todo:
-                pipe = self._pipeline_for(plan)
-                ims = self._load_round(plan, fov_name)
-                res = pipe.process_round(ims, ref_im)   # async dispatch
+            try:
+                in_flight = None
+                for plan in todo:
+                    pipe = self._pipeline_for(plan)
+                    ims = self._load_round(plan, fov_name)
+                    res = pipe.process_round(ims, ref_im)   # async dispatch
+                    if in_flight is not None:
+                        flush(*in_flight)
+                    in_flight = (plan, res, ims)
                 if in_flight is not None:
                     flush(*in_flight)
-                in_flight = (plan, res, ims)
-            if in_flight is not None:
-                flush(*in_flight)
+            finally:
+                self._drain_sink(sink)
         return processed
 
+    def _drain_sink(self, sink) -> None:
+        """Complete all queued checkpoint writes (no-op for a bare store)."""
+        if isinstance(sink, AsyncFovWriter):
+            t0 = time.perf_counter()
+            sink.close()
+            self.timings.add("save_drain", time.perf_counter() - t0)
+
     def _process_sequential(self, fov_name: str, store: FovStore,
-                            pending, processed, _todo) -> None:
+                            sink, pending, processed, _todo) -> None:
         """Sequential drift mode: each round registers against the
         previous round's corrected drift-channel image; stored drifts are
         the cumulative sums vs round 0 (reference Calculate_Bead_Drift
@@ -465,10 +489,10 @@ class ExperimentDriver:
                 # adding the previous cumulative maps into round 0's frame
                 corr = spots[ci][sel].copy()
                 corr[:, 1:4] += prev_cum[None]
-                store.save_spots(dtype, rid, corr, raw[ci][sel], cum,
-                                 flag=FLAG_CORRECTED, drift_flag=dflag)
+                sink.save_spots(dtype, rid, corr, raw[ci][sel], cum,
+                                flag=FLAG_CORRECTED, drift_flag=dflag)
                 processed[dtype] += 1
-            store.flush()
+            sink.flush()
 
     def process_all(self, overwrite: bool = False) -> Dict[str, Dict[str, int]]:
         """Process every FOV in the experiment; returns per-FOV counts."""

@@ -23,7 +23,7 @@ from imageanalysis3_tpu.pipeline.experiment import (ExperimentDriver,
 SHAPE = (12, 128, 128)
 
 
-def _driver(root, tmp_path):
+def _driver(root, tmp_path, **kwargs):
     cfg = ExperimentConfig(
         image_size=SHAPE,
         correction=CorrectionConfig(illumination=False, hot_pixel=False),
@@ -32,7 +32,8 @@ def _driver(root, tmp_path):
         fit=FitConfig(n_max_iter=4, lm_iters=20),
         num_buffer_frames=4,
     )
-    return ExperimentDriver(str(root), str(tmp_path / "save"), cfg=cfg)
+    return ExperimentDriver(str(root), str(tmp_path / "save"), cfg=cfg,
+                            **kwargs)
 
 
 def test_parse_region_entry():
@@ -289,3 +290,25 @@ def test_sequential_drift_partial_resume(experiment, tmp_path):
         matched = sum(np.linalg.norm(got - c, axis=1).min() < 0.7
                       for c in info["centers"])
         assert matched >= len(info["centers"]) * 0.8
+
+
+def test_async_and_sync_writes_produce_identical_stores(experiment,
+                                                        tmp_path):
+    """The AsyncFovWriter path (driver default) must persist exactly what
+    synchronous writes do — dataset for dataset."""
+    import h5py
+
+    root, _truth = experiment
+    drv_a = _driver(root, tmp_path / "a", async_writes=True)
+    drv_s = _driver(root, tmp_path / "s", async_writes=False)
+    assert drv_a.process_fov("Conv_zscan_00.dax")["unique"] == 6
+    assert drv_s.process_fov("Conv_zscan_00.dax")["unique"] == 6
+    # async path recorded a drain stage (the writer thread existed)
+    assert "save_drain" in drv_a.timings.summary()
+
+    with h5py.File(drv_a.store_path("Conv_zscan_00.dax"), "r") as fa, \
+            h5py.File(drv_s.store_path("Conv_zscan_00.dax"), "r") as fs:
+        ga, gs = fa["unique"], fs["unique"]
+        assert set(ga.keys()) == set(gs.keys())
+        for k in ga.keys():
+            np.testing.assert_array_equal(ga[k][:], gs[k][:], err_msg=k)

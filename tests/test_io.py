@@ -27,6 +27,38 @@ def test_dax_roundtrip(tmp_path, rng, big_endian):
     np.testing.assert_array_equal(back2, movie)
 
 
+def test_read_dax_and_split_into_staging_buffers(tmp_path, rng):
+    """read_dax(out=) / split_channels(out=) must fill preallocated
+    staging buffers with exactly what the allocating paths return (the
+    buffer-pool pattern the input pipeline and bench_io use)."""
+    n_z, buffer = 5, 2
+    all_ch = ["750", "647", "561"]
+    frames = n_z * 3 + 2 * buffer
+    movie = rng.integers(0, 65535, size=(frames, 16, 16)).astype(np.uint16)
+    path = str(tmp_path / "fov.dax")
+    write_dax(path, movie)
+
+    buf = np.empty(movie.shape, np.uint16)
+    back, _ = read_dax(path, out=buf)
+    np.testing.assert_array_equal(back, movie)
+    assert back.base is buf or back is buf
+
+    outs = [np.empty((n_z, 16, 16), np.uint16) for _ in all_ch]
+    got = split_channels(back, all_ch, all_ch, n_z=n_z,
+                         buffer_frames=buffer, out=outs)
+    ref = split_channels(movie, all_ch, all_ch, n_z=n_z,
+                         buffer_frames=buffer)
+    for a, b, o in zip(got, ref, outs):
+        assert a is o
+        np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(ValueError):
+        read_dax(path, out=np.empty((frames, 16, 15), np.uint16))
+    with pytest.raises(ValueError):
+        split_channels(back, all_ch, all_ch, n_z=n_z,
+                       buffer_frames=buffer, out=outs[:2])
+
+
 def test_frame_accounting(tmp_path, rng):
     n_z, n_colors, buffer = 6, 3, 4
     frames = n_z * n_colors + 2 * buffer
@@ -165,3 +197,105 @@ def test_correction_profile_naming_roundtrip(tmp_path):
                                      im_size=im_size)
     np.testing.assert_allclose(back_c["750"], consts["750"])
     assert back_c["647"] is None
+
+
+def test_async_writer_parity_barrier_and_error(tmp_path, rng):
+    """AsyncFovWriter: queued writes land identically to direct writes,
+    barrier() gives read-after-write, and a failed write re-raises at
+    close instead of vanishing."""
+    from imageanalysis3_tpu.io.store import (FovStore, AsyncFovWriter,
+                                             FLAG_CORRECTED)
+
+    spots = rng.normal(size=(5, 11)).astype(np.float32)
+    drift = np.array([1.0, -2.0, 0.5], np.float32)
+
+    with FovStore(str(tmp_path / "sync.h5")) as s:
+        s.init_data_type("unique", [1, 2], ["750", "647"], spot_capacity=8)
+        s.save_spots("unique", 2, spots, spots, drift,
+                     flag=FLAG_CORRECTED, drift_flag=1)
+        want = s._fh["unique"]["spots"][:]
+
+    with FovStore(str(tmp_path / "async.h5")) as s:
+        s.init_data_type("unique", [1, 2], ["750", "647"], spot_capacity=8)
+        w = AsyncFovWriter(s)
+        w.save_spots("unique", 2, spots, spots, drift,
+                     flag=FLAG_CORRECTED, drift_flag=1)
+        w.flush()
+        w.barrier()                     # read-after-write ordering
+        got_spots, got_drift, flag = s.load_spots("unique", 2)
+        np.testing.assert_array_equal(got_spots, spots)
+        np.testing.assert_array_equal(got_drift, drift)
+        assert flag == FLAG_CORRECTED
+        w.close()
+        np.testing.assert_array_equal(s._fh["unique"]["spots"][:], want)
+
+    with FovStore(str(tmp_path / "err.h5")) as s:
+        s.init_data_type("unique", [1], ["750"], spot_capacity=8)
+        w = AsyncFovWriter(s)
+        w.save_spots("unique", 99, spots, None, drift)   # unknown region
+        with pytest.raises(RuntimeError, match="async checkpoint"):
+            w.close()
+
+
+def test_metadata_long_tail_loaders_and_matchers(tmp_path):
+    """RNA/Gene/ChIP loaders + genomic matchers (reference
+    get_img_info.py:230-493) and the uniqueness-checked channel
+    detection (get_img_info.py:496-524)."""
+    from imageanalysis3_tpu.io.color_usage import (
+        ColorUsage, load_rna_info, load_gene_info, load_chip_data,
+        match_peaks_to_regions, match_rna_to_dna, match_gene_to_dna,
+        match_enhancers_to_dna)
+
+    (tmp_path / "RNA_Info.csv").write_text(
+        "RNA_id,gene_name,chr,strand,start,end,midpoint\n"
+        "r13,CYP4F29P,chr21,-,13848364,13843133,13845748.5\n"
+        "r14,OTHER,chr21,+,20000100,20000900,20000500.0,\n")
+    rna = load_rna_info(str(tmp_path))
+    assert rna["r13"]["start"] == 13848364
+    assert rna["r14"]["midpoint"] == 20000500.0
+
+    (tmp_path / "Gene_Info.csv").write_text(
+        "gene_id,gene_name,chr,strand,TSS_position,readout\n"
+        "2,HSPA13,chr21,-,14383484,NDB_1159\n")
+    genes = load_gene_info(str(tmp_path))
+    assert genes[2]["TSS_position"] == 14383484
+
+    (tmp_path / "CTCF_ChIP-Seq_chr21.csv").write_text(
+        "chr,start,end,midpoint,fold\n"
+        "chr21,14000000,14000400,14000200,7.5\n"
+        "chr21,90000000,90000400,90000200,2.0\n")
+    peaks = load_chip_data(str(tmp_path), "CTCF")
+    assert peaks[0]["fold"] == 7.5 and peaks[0]["start"] == 14000000
+
+    regions = {
+        1: {"chr": "chr21", "start": 13800000, "end": 13900000},
+        2: {"chr": "chr21", "start": 14000000, "end": 14500000},
+    }
+    rx, ry = match_peaks_to_regions(regions, peaks)
+    assert list(rx) == [1, 2]
+    np.testing.assert_allclose(ry, [0.0, 7.5])      # far peak unmatched
+    rec = match_peaks_to_regions(regions, peaks, return_arrays=False)
+    assert rec == {1: 0.0, 2: 7.5}
+
+    rna2 = match_rna_to_dna(rna, regions)
+    assert rna2["r13"]["DNA_id"] == 1
+    assert "DNA_id" not in rna2["r14"]
+
+    genes2 = match_gene_to_dna(genes, regions)
+    assert genes2[2]["DNA_id"] == 2
+
+    enh = {"e1": {"start": 13895000, "end": 13905000}}   # half inside r1
+    reg3 = match_enhancers_to_dna(enh, regions)
+    assert reg3[1]["enhancer_count"] == 0.5
+    assert reg3[2]["enhancer_count"] == 0.0
+
+    cu = ColorUsage(channels=["750", "647"],
+                    usage={"H1R1": ["u1", "beads"],
+                           "H2R2": ["beads", "u2"]})
+    with pytest.raises(ValueError, match="not unique"):
+        cu.bead_channel_index()
+    cu2 = ColorUsage(channels=["750", "647"],
+                     usage={"H1R1": ["u1", "beads"],
+                            "H2R2": ["u2", "beads"]})
+    assert cu2.bead_channel_index() == 1
+    assert cu2.dapi_channel_index() is None
