@@ -5,6 +5,7 @@ and segmentation_tools/chromosome.py:51-486.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from imageanalysis3_tpu import segmentation as SG
@@ -197,3 +198,83 @@ def test_interpolate_z_masks_nearest():
     out = SG.interpolate_z_masks(z_masks, z, target)
     assert [int(m[0, 0]) for m in out] == [1, 1, 2, 3, 3]
     assert out.shape == (5, 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# Learned segmentation backend (reference segmentation_tools/cell.py:192-362,
+# cellpose-style flows in functional JAX)
+# ---------------------------------------------------------------------------
+
+
+def _two_cell_labels(shape=(8, 48, 48)):
+    truth = np.zeros(shape, np.int32)
+    truth[_ellipsoid_mask(shape, (4, 16, 22), (3, 10, 10))] = 1
+    truth[_ellipsoid_mask(shape, (4, 32, 26), (3, 10, 10))] = 2
+    return truth
+
+
+def _iou(a, b):
+    return (a & b).sum() / max((a | b).sum(), 1)
+
+
+def test_masks_from_flows_recovers_touching_cells():
+    """The dynamics step alone (analytic truth flows) must separate two
+    touching cells with high IoU — this isolates the cellpose-dynamics
+    reconstruction from the network."""
+    from imageanalysis3_tpu.segmentation import learned as L
+
+    truth = _two_cell_labels()
+    flow, fg = L.labels_to_flows(truth)
+    labels = np.asarray(L.masks_from_flows(
+        jnp.asarray(flow), jnp.where(jnp.asarray(fg), 5.0, -5.0),
+        max_cells=8, min_count=10))
+    assert labels.max() == 2
+    ious = []
+    for t in (1, 2):
+        best = max(_iou(labels == l, truth == t)
+                   for l in range(1, labels.max() + 1))
+        ious.append(best)
+    assert min(ious) > 0.8, ious
+
+
+def test_unet_apply_shapes_and_weight_io(tmp_path):
+    from imageanalysis3_tpu.segmentation import learned as L
+
+    params = L.init_unet_params(jax.random.PRNGKey(0), in_channels=2,
+                                base=8, levels=2)
+    im = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 6, 32, 32)).astype(np.float32))
+    flow, logits = L.unet_apply(params, im)
+    assert flow.shape == (3, 6, 32, 32) and logits.shape == (6, 32, 32)
+    assert np.isfinite(np.asarray(flow)).all()
+    p = str(tmp_path / "w.npz")
+    L.save_weights(params, p)
+    back = L.load_weights(p, params)
+    f2, _ = L.unet_apply(back, im)
+    np.testing.assert_allclose(np.asarray(flow), np.asarray(f2))
+
+
+def test_fit_unet_segments_synthetic_nuclei():
+    """Credibility: a tiny UNet fine-tuned on synthetic nuclei must
+    reach IoU >= 0.6 per cell through the full learned path
+    (net -> flows -> masks).  Fails if the trainer or dynamics regress."""
+    from imageanalysis3_tpu.segmentation import learned as L
+
+    truth = _two_cell_labels()
+    rng = np.random.default_rng(2)
+    im = (truth > 0).astype(np.float32) * 900.0 + 100.0
+    im = im + rng.normal(0, 30.0, im.shape).astype(np.float32)
+    im = im[None]                                     # (C=1, Z, X, Y)
+
+    params = L.init_unet_params(jax.random.PRNGKey(1), in_channels=1,
+                                base=8, levels=2)
+    params = L.fit_unet(params, [im], [truth], n_steps=150, lr=2e-3)
+    labels = np.asarray(L.segment_cells_learned(
+        jnp.asarray(im), params, max_cells=8, min_count=10))
+    assert labels.max() >= 2
+    ious = []
+    for t in (1, 2):
+        best = max(_iou(labels == l, truth == t)
+                   for l in range(1, labels.max() + 1))
+        ious.append(best)
+    assert min(ious) > 0.6, ious
