@@ -61,6 +61,56 @@ def test_cell_list_population_map(tmp_path):
     assert counts["Conv_zscan_00.dax"]["unique"] == 4
     cells = cl._create_cells("unique")
     assert len(cells) == 1
-    pop = cl._calculate_population_map()
+    pop, n_used = cl._calculate_population_map()
     assert pop.shape == (4, 4)
+    assert n_used >= 1
     assert np.isfinite(pop[np.triu_indices(4, 1)]).any()
+    # mean and contact variants (reference _stat_type options, :1668-1677)
+    mean_map, _ = cl._calculate_population_map(stat_type="mean")
+    assert mean_map.shape == (4, 4)
+    contact, _, all_maps = cl._calculate_population_map(
+        stat_type="contact", contact_th=1e9, return_all_maps=True)
+    off = contact[np.triu_indices(4, 1)]
+    assert np.all(off[np.isfinite(off)] >= 0) and np.nanmax(off) <= 1
+    # with an infinite threshold every measured pair is a contact
+    assert np.nanmax(off) == 1.0
+    assert all_maps.ndim == 3
+
+
+def test_cell_data_rna_merge_and_crop(tmp_path):
+    """RNA->DNA attribute merge (reference classes/__init__.py:4274-4327)
+    and per-cell image crops (:2780-2962) against a stored experiment."""
+    from imageanalysis3_tpu.io.store import FovStore
+
+    root = tmp_path / "exp"
+    syn.write_synthetic_experiment(str(root), shape=SHAPE, n_rounds=2,
+                                   n_spots=8, seed=5, buffer_frames=4)
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        correction=CorrectionConfig(illumination=False, hot_pixel=False),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=3, lm_iters=15),
+        num_buffer_frames=4)
+    cl = CellList(str(root), str(tmp_path / "save"), cfg=cfg,
+                  save_images=True)
+    cl._process_fovs()
+    dna_cell = cl._create_cells("unique")[0]
+
+    rna_cell = CellData({1: np.zeros((2, 11), np.float32)})
+    rna_cell.gene_counts = {"GENE1": 3}
+    added = dna_cell._merge_RNA_to_DNA(rna_cell)
+    assert "rna-gene_counts" in added
+    assert dna_cell.rna_gene_counts == {"GENE1": 3}
+    assert dna_cell.rna_cand_spots[1].shape == (2, 11)
+
+    # crops: whole-frame "cell" 1 with a tiny bounding mask
+    seg = np.zeros(SHAPE, np.int32)
+    seg[:, 40:80, 30:90] = 1
+    fov = cl.driver.fovs[0]
+    with FovStore(cl.driver.store_path(fov), "r") as store:
+        crops = CellData._crop_images(store, "unique", seg, 1,
+                                      extend_dim=4)
+    assert len(crops) == 4
+    im = next(iter(crops.values()))
+    assert im.shape == (SHAPE[0], 80 - 40 + 8, 90 - 30 + 8)
