@@ -400,15 +400,16 @@ class ExperimentDriver:
                 sink.flush()
                 self.timings.add("save", time.perf_counter() - t0)
 
-            # one-round readahead: dispatch round r+1 to the device before
-            # blocking/persisting round r, so host dax reads and HDF5
-            # writes overlap device compute (the TPU analog of the
-            # reference worker pool, classes/field_of_view.py:1128-1142)
+            # one-round readahead: dispatch round r+1 to the device
+            # before blocking/persisting round r, and read round r+1's
+            # .dax on a loader thread, so host reads continue while
+            # flush() blocks this thread on device results (the TPU
+            # analog of the reference worker pool,
+            # classes/field_of_view.py:1128-1142)
             try:
                 in_flight = None
-                for plan in todo:
+                for plan, ims in self._iter_rounds(todo, fov_name):
                     pipe = self._pipeline_for(plan)
-                    ims = self._load_round(plan, fov_name)
                     res = pipe.process_round(ims, ref_im)   # async dispatch
                     if in_flight is not None:
                         flush(*in_flight)
@@ -418,6 +419,39 @@ class ExperimentDriver:
             finally:
                 self._drain_sink(sink)
         return processed
+
+    def _iter_rounds(self, todo, fov_name: str, depth: int = 2):
+        """Yield (plan, (C, Z, X, Y) stack) with reads running on a
+        background thread, at most `depth` rounds resident at once
+        (same single-reader pattern as parallel.FovPrefetcher, but per
+        round plan — channel sets differ round to round).  Errors are
+        re-raised at the consumer's next pull."""
+        import queue
+        import threading
+
+        done = object()
+        q: "queue.Queue" = queue.Queue(maxsize=max(depth - 1, 1))
+
+        def run():
+            try:
+                for plan in todo:
+                    q.put((plan, self._load_round(plan, fov_name)))
+                q.put(done)
+            except BaseException as e:      # noqa: BLE001 — relayed
+                q.put(e)
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="round-loader")
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                t.join()
+                return
+            if isinstance(item, BaseException):
+                t.join()
+                raise RuntimeError("round load failed") from item
+            yield item
 
     def _drain_sink(self, sink) -> None:
         """Complete all queued checkpoint writes (no-op for a bare store)."""
