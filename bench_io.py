@@ -68,6 +68,7 @@ def main():
                                            FitConfig, CorrectionConfig)
     from imageanalysis3_tpu.io.dax import (read_dax, split_channels,
                                            write_dax, read_inf)
+    from imageanalysis3_tpu.io.native_loader import load_dax_channels
     from imageanalysis3_tpu.pipeline import FovPipeline
     from imageanalysis3_tpu import synthetic as syn
 
@@ -105,22 +106,38 @@ def main():
         metas = [read_inf(p) for p in paths]
         fov_gb = os.path.getsize(paths[0]) / 1e9
 
+        block = np.stack(ch_bufs)       # (C, Z, H, W) contiguous block
+
         def host_path(i: int) -> None:
-            """read + de-interleave FOV i through the staging pool."""
+            """Fused native read+de-interleave of FOV i into the block
+            (io/native/daxload.cpp — the production input path; parallel
+            pread of each frame straight into its channel slot)."""
+            load_dax_channels(paths[i], CHANNELS, CHANNELS, n_z=SHAPE[0],
+                              buffer_frames=BUFFER_FRAMES, meta=metas[i],
+                              out=block)
+
+        def host_path_numpy(i: int) -> None:
+            """Two-pass NumPy reference path (read movie, slice)."""
             movie, _ = read_dax(paths[i], meta=metas[i], out=movie_buf)
             split_channels(movie, CHANNELS, CHANNELS, n_z=SHAPE[0],
                            buffer_frames=BUFFER_FRAMES, out=ch_bufs)
 
         _note("host path warmup")
         host_path(0)
-        t_host = []
+        host_path_numpy(0)
+        t_host, t_host_np = [], []
         for k in range(N_TIMED):
             t0 = time.perf_counter()
             host_path(k % N_FOV)
             t_host.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            host_path_numpy(k % N_FOV)
+            t_host_np.append(time.perf_counter() - t0)
         t_host_med = float(np.median(t_host))
-        _note(f"host read+deint: {t_host_med:.3f} s/FOV "
-              f"({fov_gb / t_host_med:.2f} GB/s); building pipeline")
+        t_host_np_med = float(np.median(t_host_np))
+        _note(f"host read+deint: native {t_host_med:.3f} s/FOV "
+              f"({fov_gb / t_host_med:.2f} GB/s), numpy "
+              f"{t_host_np_med:.3f} s/FOV; building pipeline")
 
         # ---- device compute (bench.py's per-round program, 1 channel)
         cfg = ExperimentConfig(
@@ -201,6 +218,7 @@ def main():
             "extra": {
                 "fov_gb": round(fov_gb, 3),
                 "host_read_deint_s": round(t_host_med, 4),
+                "host_read_deint_numpy_s": round(t_host_np_med, 4),
                 "host_read_deint_gbps": round(fov_gb / t_host_med, 2),
                 "device_s_per_stack": round(t_dev_med, 4),
                 "overlapped_s_per_stack": round(t_overlap, 4),

@@ -2,7 +2,9 @@
 
 from .dax import (DaxMetadata, read_inf, read_dax, write_dax,
                   split_channels, interleave_channels,
-                  get_num_frames_and_colors)
+                  get_num_frames_and_colors, channel_start_frames)
+from .native_loader import (load_dax_channels, split_channels_native,
+                            native_loader_available)
 from .color_usage import (ColorUsage, load_color_usage, find_hyb_folders,
                           load_encoding_scheme, load_region_positions,
                           load_rna_info, load_gene_info, load_chip_data,
@@ -20,6 +22,8 @@ from .spots import (spots_to_dataframe, dataframe_to_cand_spots,
 __all__ = [
     "DaxMetadata", "read_inf", "read_dax", "write_dax", "split_channels",
     "interleave_channels", "get_num_frames_and_colors",
+    "channel_start_frames", "load_dax_channels", "split_channels_native",
+    "native_loader_available",
     "ColorUsage", "load_color_usage", "find_hyb_folders",
     "load_encoding_scheme", "load_region_positions",
     "load_rna_info", "load_gene_info", "load_chip_data",

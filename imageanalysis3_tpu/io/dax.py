@@ -190,6 +190,32 @@ def get_num_frames_and_colors(dax_filename: str, frame_per_color: int = 30,
     return (meta.number_frames, *meta.frame_shape), int(n_color)
 
 
+def channel_start_frames(sel_channels, all_channels,
+                         buffer_frames: int = 10, empty_frames: int = 0,
+                         skip_frame0: bool = False
+                         ) -> Tuple[List[int], int]:
+    """(per-selected-channel first frame index, n_colors) for the
+    interleaved frame layout (reference io_tools/load.py:524-550 start
+    arithmetic, shared by :func:`split_channels` and the native fused
+    loader)."""
+    all_ch = [str(c) for c in all_channels]
+    sel_ch = [str(c) for c in ([sel_channels] if isinstance(
+        sel_channels, (str, int)) else sel_channels)]
+    n_colors = len(all_ch)
+    for ch in sel_ch:
+        if ch not in all_ch:
+            raise ValueError(f"channel {ch} not in {all_ch}")
+    starts = []
+    for ch in sel_ch:
+        i = all_ch.index(ch)
+        s = (empty_frames + buffer_frames
+             + (i - empty_frames - buffer_frames) % n_colors)
+        if skip_frame0 and s == buffer_frames:
+            s += n_colors
+        starts.append(s)
+    return starts, n_colors
+
+
 def split_channels(movie: np.ndarray,
                    sel_channels: Sequence[Union[str, int]],
                    all_channels: Sequence[Union[str, int]],
@@ -208,21 +234,9 @@ def split_channels(movie: np.ndarray,
     ``out``: optional list of preallocated (n_z, H, W) per-channel buffers
     copied into in place (staging-buffer reuse, see :func:`read_dax`).
     """
-    all_ch = [str(c) for c in all_channels]
-    sel_ch = [str(c) for c in ([sel_channels] if isinstance(
-        sel_channels, (str, int)) else sel_channels)]
-    n_colors = len(all_ch)
-    for ch in sel_ch:
-        if ch not in all_ch:
-            raise ValueError(f"channel {ch} not in {all_ch}")
-    starts = []
-    for ch in sel_ch:
-        i = all_ch.index(ch)
-        s = (empty_frames + buffer_frames
-             + (i - empty_frames - buffer_frames) % n_colors)
-        if skip_frame0 and s == buffer_frames:
-            s += n_colors
-        starts.append(s)
+    starts, n_colors = channel_start_frames(
+        sel_channels, all_channels, buffer_frames=buffer_frames,
+        empty_frames=empty_frames, skip_frame0=skip_frame0)
     if out is not None:
         if len(out) != len(starts):
             raise ValueError(f"out has {len(out)} buffers for "

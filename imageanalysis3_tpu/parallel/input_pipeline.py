@@ -39,7 +39,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..io.dax import read_dax, read_inf, split_channels
+from ..io.dax import read_inf
+from ..io.native_loader import load_dax_channels
 
 
 def shard_fovs(fov_names: Sequence[str],
@@ -115,14 +116,10 @@ class FovPrefetcher:
         self._thread: Optional[threading.Thread] = None
 
     def _run(self) -> None:
-        movie_buf = None
         frame_shape = None
         try:
             for path in self._paths:
                 meta = read_inf(path)
-                shape = (meta.number_frames,) + meta.frame_shape
-                if movie_buf is None or movie_buf.shape != shape:
-                    movie_buf = np.empty(shape, np.uint16)
                 if meta.frame_shape != frame_shape:
                     # (re)build the ring; any still-borrowed old buffers
                     # stay alive with their items and are dropped on
@@ -133,14 +130,16 @@ class FovPrefetcher:
                         self._free_q.put(np.empty(
                             (len(self._channels), self._n_z) + frame_shape,
                             np.uint16))
-                movie, _ = read_dax(path, meta=meta, out=movie_buf)
                 out = self._free_q.get()        # backpressure point
-                split_channels(movie, self._channels, self._channels,
-                               n_z=self._n_z,
-                               buffer_frames=self._buffer_frames,
-                               empty_frames=self._empty_frames,
-                               skip_frame0=self._skip_frame0,
-                               out=list(out))
+                # fused native read+de-interleave (one parallel pass,
+                # frames land straight in their channel slots); falls
+                # back to read_dax + split_channels without a toolchain
+                load_dax_channels(path, self._channels, self._channels,
+                                  n_z=self._n_z,
+                                  buffer_frames=self._buffer_frames,
+                                  empty_frames=self._empty_frames,
+                                  skip_frame0=self._skip_frame0,
+                                  meta=meta, out=out)
                 self._data_q.put((path, out))
             self._data_q.put(self._DONE)
         except BaseException as e:          # noqa: BLE001 — relayed

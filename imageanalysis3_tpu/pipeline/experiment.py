@@ -29,7 +29,6 @@ import numpy as np
 
 from ..config import (ExperimentConfig, CHANNEL_SEED_THRESHOLDS)
 from ..io.color_usage import ColorUsage, load_color_usage, find_hyb_folders
-from ..io.dax import read_dax, split_channels
 from ..io.store import (FovStore, AsyncFovWriter, FLAG_CORRECTED,
                         FLAG_EMPTY)
 from .fov import FovPipeline
@@ -295,16 +294,20 @@ class ExperimentDriver:
         return os.path.join(self.save_folder, base + ".hdf5")
 
     def _load_round(self, plan: RoundPlan, fov_name: str) -> np.ndarray:
-        """Read + de-interleave one round's .dax -> (C, Z, X, Y) uint16."""
+        """Read + de-interleave one round's .dax -> (C, Z, X, Y) uint16.
+
+        Uses the native fused loader (io/native/daxload.cpp: parallel
+        pread of each frame straight into its channel slot, one pass)
+        with a transparent NumPy fallback."""
+        from ..io.native_loader import load_dax_channels
+
         t0 = time.perf_counter()
         path = os.path.join(plan.folder, fov_name)
-        movie, _meta = read_dax(path)
-        stacks = split_channels(
-            movie, plan.channels, self.color_usage.channels,
+        out = load_dax_channels(
+            path, plan.channels, self.color_usage.channels,
             n_z=self.cfg.image_size[0],
             buffer_frames=self.cfg.num_buffer_frames,
             empty_frames=self.cfg.num_empty_frames)
-        out = np.stack(stacks)
         self.timings.add("load_dax", time.perf_counter() - t0,
                          folder=self._folder_key(plan.folder))
         return out

@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from imageanalysis3_tpu.io import (read_inf, read_dax, write_dax,
+from imageanalysis3_tpu.io import (DaxMetadata, read_inf, read_dax, write_dax,
                                    split_channels, get_num_frames_and_colors,
                                    load_color_usage, find_hyb_folders)
 
@@ -299,3 +299,58 @@ def test_metadata_long_tail_loaders_and_matchers(tmp_path):
                             "H2R2": ["u2", "beads"]})
     assert cu2.bead_channel_index() == 1
     assert cu2.dapi_channel_index() is None
+
+
+def test_native_loader_parity(tmp_path, rng):
+    """Fused native read+de-interleave (io/native/daxload.cpp) must be
+    byte-identical to read_dax + split_channels — both endiannesses,
+    both entry points, out= blocks, and the no-toolchain fallback."""
+    from imageanalysis3_tpu.io.native_loader import (
+        load_dax_channels, split_channels_native, native_loader_available)
+
+    assert native_loader_available()     # toolchain is baked in here
+
+    n_z, buffer = 4, 3
+    all_ch = ["750", "647", "561"]
+    n_frames = n_z * 3 + 2 * buffer
+    movie = rng.integers(0, 65535,
+                         size=(n_frames, 16, 24)).astype(np.uint16)
+    for big_endian in (False, True):
+        path = str(tmp_path / f"fov_{big_endian}.dax")
+        write_dax(path, movie, big_endian=big_endian)
+        back, _ = read_dax(path)
+        want = np.stack(split_channels(back, ["647", "750"], all_ch,
+                                       n_z=n_z, buffer_frames=buffer))
+        got = load_dax_channels(path, ["647", "750"], all_ch, n_z=n_z,
+                                buffer_frames=buffer)
+        np.testing.assert_array_equal(got, want)
+        out = np.empty_like(want)
+        got2 = load_dax_channels(path, ["647", "750"], all_ch, n_z=n_z,
+                                 buffer_frames=buffer, out=out)
+        assert got2 is out
+        np.testing.assert_array_equal(out, want)
+
+    native = split_channels_native(movie, all_ch, all_ch, n_z=n_z,
+                                   buffer_frames=buffer)
+    ref = np.stack(split_channels(movie, all_ch, all_ch, n_z=n_z,
+                                  buffer_frames=buffer))
+    np.testing.assert_array_equal(native, ref)
+
+    # skip_frame0 start arithmetic flows through the shared helper
+    got3 = load_dax_channels(str(tmp_path / "fov_False.dax"), ["750"],
+                             all_ch, n_z=n_z - 1, buffer_frames=buffer,
+                             skip_frame0=True)
+    want3 = split_channels(movie, ["750"], all_ch, n_z=n_z - 1,
+                           buffer_frames=buffer, skip_frame0=True)[0]
+    np.testing.assert_array_equal(got3[0], want3)
+
+    with pytest.raises(ValueError, match="frames"):
+        load_dax_channels(str(tmp_path / "fov_False.dax"), ["750"],
+                          all_ch, n_z=n_z + 10, buffer_frames=buffer)
+    with pytest.raises(IOError):
+        # oversized frame geometry -> preads past EOF must fail loudly
+        load_dax_channels(str(tmp_path / "fov_False.dax"), ["750"],
+                          all_ch, n_z=n_z, buffer_frames=buffer,
+                          meta=DaxMetadata(number_frames=n_frames,
+                                           image_height=4096,
+                                           image_width=4096))
