@@ -23,6 +23,11 @@ from .structure import (contact_map, domain_contact_freq,
 from .population import (load_bed, region_overlap_fraction,
                          assign_compartments_from_domains,
                          CellTypeClassifier)
+from .postanalysis import (is_in_hull, hull_distance,
+                           bootstrap_spots_in_domain,
+                           bootstrap_regions_in_domain,
+                           region_genomic_scaling, score_from_density,
+                           local_maximum_in_density)
 from .cell_locations import (segmentation_to_cell_locations,
                              translate_cell_locations,
                              merge_cell_locations)
@@ -44,6 +49,9 @@ __all__ = [
     "interdomain_likelihood", "iterative_interdomain_calling",
     "load_bed", "region_overlap_fraction",
     "assign_compartments_from_domains", "CellTypeClassifier",
+    "is_in_hull", "hull_distance", "bootstrap_spots_in_domain",
+    "bootstrap_regions_in_domain", "region_genomic_scaling",
+    "score_from_density", "local_maximum_in_density",
     "segmentation_to_cell_locations", "translate_cell_locations",
     "merge_cell_locations",
 ]
