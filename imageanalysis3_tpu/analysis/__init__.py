@@ -28,7 +28,8 @@ from .postanalysis import (is_in_hull, hull_distance,
                            bootstrap_regions_in_domain,
                            region_genomic_scaling, score_from_density,
                            local_maximum_in_density)
-from .cell_locations import (segmentation_to_cell_locations,
+from .cell_locations import (load_position_file,
+                             segmentation_to_cell_locations,
                              translate_cell_locations,
                              merge_cell_locations)
 
@@ -52,6 +53,7 @@ __all__ = [
     "is_in_hull", "hull_distance", "bootstrap_spots_in_domain",
     "bootstrap_regions_in_domain", "region_genomic_scaling",
     "score_from_density", "local_maximum_in_density",
+    "load_position_file",
     "segmentation_to_cell_locations", "translate_cell_locations",
     "merge_cell_locations",
 ]

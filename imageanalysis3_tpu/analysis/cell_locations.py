@@ -51,6 +51,15 @@ def segmentation_to_cell_locations(labels: np.ndarray, fov_id: int = 0,
     return pd.DataFrame(rows)
 
 
+def load_position_file(path: str) -> pd.DataFrame:
+    """Stage position table from a 'position.txt' file (comma-separated
+    x,y per FOV row, no header — reference
+    meta_tools/global_alignments.py:4-9 Load_PositionFile)."""
+    pos = pd.read_csv(path, header=None)
+    pos.columns = ["x", "y"]
+    return pos
+
+
 def translate_cell_locations(df: pd.DataFrame,
                              fov_position_um: Sequence[float]
                              ) -> pd.DataFrame:

@@ -352,3 +352,15 @@ def test_iterative_interdomain_calling():
         contact_th=700.0)
     assert (0, 3) in pairs, pairs
     assert (0, 2) not in pairs and (1, 3) not in pairs
+
+
+def test_load_position_file(tmp_path):
+    """position.txt stage table (reference
+    meta_tools/global_alignments.py:4-9)."""
+    from imageanalysis3_tpu.analysis import load_position_file
+
+    p = tmp_path / "position.txt"
+    p.write_text("100.5,-200.25\n300.0,400.0\n")
+    pos = load_position_file(str(p))
+    assert list(pos.columns) == ["x", "y"]
+    assert len(pos) == 2 and pos.iloc[1]["x"] == 300.0
