@@ -3,7 +3,7 @@
 from .distmap import spots_to_zxy_nm, distance_map, median_distance_map
 from .domains import (sliding_window_dist, find_peaks_1d,
                       candidate_domain_boundaries, domain_pdists,
-                      merge_domains, basic_domain_calling,
+                      merge_domains, basic_domain_calling, find_matched_starts,
                       insulation_domain_calling, arrowhead_transform,
                       iterative_domain_calling,
                       sliding_window_domain_calling,
@@ -37,6 +37,7 @@ __all__ = [
     "spots_to_zxy_nm", "distance_map", "median_distance_map",
     "sliding_window_dist", "find_peaks_1d", "candidate_domain_boundaries",
     "domain_pdists", "merge_domains", "basic_domain_calling",
+    "find_matched_starts",
     "insulation_domain_calling", "arrowhead_transform",
     "iterative_domain_calling", "sliding_window_domain_calling",
     "contact_correlation_domain_calling",

@@ -559,3 +559,19 @@ def contact_correlation_domain_calling(zxys: np.ndarray,
     merged = merge_domain_by_contact_correlation(kz, cand, contact_th,
                                                  corr_th)
     return good[kept[merged]]
+
+
+def find_matched_starts(starts, ref_starts, dom_sz: int = 5,
+                        ignore_multi_match: bool = True) -> np.ndarray:
+    """Match called domain starts to reference starts within dom_sz/2
+    (reference domain_tools/manual.py:262-280: the manual-vs-automatic
+    boundary reproducibility metric; a start matching multiple
+    references is dropped when `ignore_multi_match`, else takes the
+    first)."""
+    ref = np.asarray(ref_starts, int)
+    out = []
+    for s in np.asarray(starts, int):
+        hits = np.where(np.abs(ref - s) <= dom_sz // 2)[0]
+        if len(hits) == 1 or (len(hits) > 1 and not ignore_multi_match):
+            out.append(ref[hits[0]])
+    return np.asarray(out, int)

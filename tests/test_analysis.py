@@ -364,3 +364,20 @@ def test_load_position_file(tmp_path):
     pos = load_position_file(str(p))
     assert list(pos.columns) == ["x", "y"]
     assert len(pos) == 2 and pos.iloc[1]["x"] == 300.0
+
+
+def test_find_matched_starts():
+    """Manual-vs-automatic boundary matching (reference
+    domain_tools/manual.py:262-280)."""
+    from imageanalysis3_tpu.analysis import find_matched_starts
+
+    ref = [0, 10, 20, 30]
+    got = find_matched_starts([1, 11, 26, 29], ref, dom_sz=5)
+    # 1->0, 11->10, 26 matches nothing (|26-30|=4 > 2), 29->30
+    assert got.tolist() == [0, 10, 30]
+    # multi-match dropped by default, first taken otherwise
+    near = find_matched_starts([10], [9, 11], dom_sz=5)
+    assert near.tolist() == []
+    near2 = find_matched_starts([10], [9, 11], dom_sz=5,
+                                ignore_multi_match=False)
+    assert near2.tolist() == [9]

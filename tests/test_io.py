@@ -354,3 +354,51 @@ def test_native_loader_parity(tmp_path, rng):
                           meta=DaxMetadata(number_frames=n_frames,
                                            image_height=4096,
                                            image_width=4096))
+
+
+def test_microscope_geometry(tmp_path):
+    """microscope.json transpose/flips for images and spot rows
+    (reference segmentation_tools/cell.py:437-463,
+    spot_tools/translating.py:95-117): image and spot transforms must
+    agree — a bright voxel moves where its spot row says."""
+    import json
+    from imageanalysis3_tpu.io import (read_microscope_json,
+                                       microscope_correct_image,
+                                       microscope_translate_spots)
+
+    params = {"transpose": True, "flip_horizontal": True,
+              "flip_vertical": False}
+    p = tmp_path / "microscope.json"
+    p.write_text(json.dumps(params))
+    assert read_microscope_json(str(p)) == params
+
+    shape = (4, 8, 6)
+    im = np.zeros(shape, np.float32)
+    z0, x0, y0 = 2, 5, 1
+    im[z0, x0, y0] = 7.0
+    out = microscope_correct_image(im, params)
+    assert out.shape == (4, 6, 8)                    # transposed xy
+    (zz,), (xx,), (yy,) = np.where(out == 7.0)[0:1], \
+        np.where(out == 7.0)[1:2], np.where(out == 7.0)[2:3]
+
+    spots = np.zeros((1, 11), np.float32)
+    spots[0, 1:4] = [z0, x0, y0]
+    # spot transform uses the POST-transform image size (the reference
+    # pipeline order); the reference mirrors coordinates as s - c
+    # (spot_tools/translating.py:109-113), half a pixel off the voxel
+    # mirror s-1-c, so require exact reference arithmetic and voxel
+    # agreement within one pixel
+    tr = microscope_translate_spots(spots, params, out.shape)
+    np.testing.assert_allclose(tr[0, 1:4], [z0, y0, out.shape[2] - x0])
+    assert np.max(np.abs(np.array([zz[0], xx[0], yy[0]])
+                         - tr[0, 1:4])) <= 1.0
+
+    # 2d path + no-op params
+    im2 = microscope_correct_image(im[0], {"transpose": True})
+    assert im2.shape == (6, 8)
+    np.testing.assert_array_equal(
+        microscope_correct_image(im, {}), im)
+    with pytest.raises(TypeError):
+        microscope_correct_image(im, None)
+    with pytest.raises(ValueError):
+        microscope_correct_image(im[0, 0], params)
