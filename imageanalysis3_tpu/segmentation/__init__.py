@@ -6,12 +6,14 @@ from .nuclei import (otsu_threshold, segment_nuclei, segment_cells,
 from .chromosome import find_candidate_chromosomes, assign_seeds_to_nuclei
 from .learned import (init_unet_params, unet_apply, masks_from_flows,
                       follow_flows, labels_to_flows, fit_unet,
-                      segment_cells_learned, save_weights, load_weights)
+                      segment_cells_learned, segment_fov_learned,
+                      save_weights, load_weights)
 
 __all__ = ["otsu_threshold", "segment_nuclei", "segment_cells",
            "propagate_labels", "label_sizes", "merge_z_layer_masks",
            "interpolate_z_masks", "find_candidate_chromosomes",
            "assign_seeds_to_nuclei", "init_unet_params", "unet_apply",
            "masks_from_flows", "follow_flows", "labels_to_flows",
-           "fit_unet", "segment_cells_learned", "save_weights",
+           "fit_unet", "segment_cells_learned", "segment_fov_learned",
+           "save_weights",
            "load_weights"]

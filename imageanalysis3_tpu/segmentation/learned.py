@@ -241,16 +241,52 @@ def segment_cells_learned(im: jnp.ndarray, params: Dict,
                           prob_threshold: float = 0.0,
                           n_iters: int = 40,
                           max_cells: int = 64,
-                          min_count: int = 20) -> jnp.ndarray:
+                          min_count: int = 20,
+                          bin_zxy: Tuple[int, int, int] = (2, 4, 4)
+                          ) -> jnp.ndarray:
     """(C, Z, X, Y) image (e.g. polyT + DAPI channels) -> (Z, X, Y)
     int32 cell labels via the learned flow model (the TPU-native
     replacement for the reference's Cellpose 3D call,
-    segmentation_tools/cell.py:192-270)."""
+    segmentation_tools/cell.py:192-270).  `bin_zxy` is the landing
+    histogram's bin size; it bounds the minimum resolvable cell-center
+    separation (~2 bins), so shrink it alongside any image pooling."""
     flow, logits = unet_apply(params, jnp.asarray(im))
     return masks_from_flows(flow, logits,
                             prob_threshold=prob_threshold,
                             n_iters=n_iters, max_cells=max_cells,
-                            min_count=min_count)
+                            min_count=min_count, bin_zxy=bin_zxy)
+
+
+def segment_fov_learned(im: jnp.ndarray, params: Dict,
+                        downsample: Tuple[int, int, int] = (1, 4, 4),
+                        **kwargs) -> jnp.ndarray:
+    """Full-FOV learned segmentation at production scale: average-pool
+    the (C, Z, X, Y) stack by `downsample`, segment on the coarse grid,
+    and nearest-upsample the labels back to full resolution.
+
+    The reference resizes stacks before Cellpose for exactly this
+    reason (segmentation_tools/cell.py:214-240 resize-to-isotropic
+    round trip); at 2048^2 the fine-grid flow rollout would otherwise
+    materialize multi-GB landing grids.  Cell-scale objects (tens of
+    pixels) survive 4x xy pooling untouched.  `params` must be trained
+    at the pooled working resolution (cellpose's fixed-diameter
+    calibration plays the same role).  Unless overridden, the landing
+    bins shrink with the pooling so the resolvable cell-center
+    separation stays constant in full-resolution pixels."""
+    im = jnp.asarray(im, jnp.float32)
+    dz, dx, dy = downsample
+    if "bin_zxy" not in kwargs:
+        kwargs["bin_zxy"] = tuple(
+            max(1, b // d) for b, d in zip((2, 4, 4), downsample))
+    c, z, x, y = im.shape
+    zc, xc, yc = z // dz, x // dx, y // dy
+    pooled = im[:, :zc * dz, :xc * dx, :yc * dy].reshape(
+        c, zc, dz, xc, dx, yc, dy).mean(axis=(2, 4, 6))
+    labels = segment_cells_learned(pooled, params, **kwargs)
+    up = jnp.repeat(jnp.repeat(jnp.repeat(labels, dz, axis=0), dx,
+                               axis=1), dy, axis=2)
+    return jnp.pad(up, ((0, z - zc * dz), (0, x - xc * dx),
+                        (0, y - yc * dy)), mode="edge")
 
 
 # ---------------------------------------------------------------------------

@@ -278,3 +278,31 @@ def test_fit_unet_segments_synthetic_nuclei():
                    for l in range(1, labels.max() + 1))
         ious.append(best)
     assert min(ious) > 0.6, ious
+
+
+def test_segment_fov_learned_downsample_roundtrip():
+    """Full-FOV wrapper: pool -> segment -> nearest upsample preserves
+    cell identity and covers the full output shape (the reference's
+    resize round trip, segmentation_tools/cell.py:214-240)."""
+    from imageanalysis3_tpu.segmentation import learned as L
+
+    truth = _two_cell_labels(shape=(6, 50, 46))     # non-divisible xy
+    im = ((truth > 0).astype(np.float32) * 900.0 + 100.0)[None]
+    # Train at the pooled working resolution — the wrapper's contract
+    # (cellpose's fixed-diameter calibration plays the same role).
+    im_c, truth_c = im[:, :, ::2, ::2], truth[:, ::2, ::2]
+    params = L.init_unet_params(jax.random.PRNGKey(4), in_channels=1,
+                                base=8, levels=2)
+    params = L.fit_unet(params, [im_c], [truth_c], n_steps=120,
+                        lr=2e-3)
+    labels = np.asarray(L.segment_fov_learned(
+        jnp.asarray(im), params, downsample=(1, 2, 2),
+        max_cells=8, min_count=10))
+    assert labels.shape == truth.shape
+    assert labels.max() >= 2
+    ious = []
+    for t in (1, 2):
+        best = max(_iou(labels == l, truth == t)
+                   for l in range(1, labels.max() + 1))
+        ious.append(best)
+    assert min(ious) > 0.5, ious
