@@ -6,11 +6,13 @@ Behavior targets (reference figure_tools/):
   * image projections          figure_tools/image.py:27-190
   * decode statistics          figure_tools/plot_decode.py:66+
   * partition / segmentation   figure_tools/plot_{partition,segmentation}.py
+  * interactive curation       visual_tools.py:510-905 (imshow_mark_3d_v2),
+                               domain_tools/manual.py:13-233 (mark_boundaries)
 
-Matplotlib only (Agg-safe); the interactive GUIs of the reference
-(visual_tools.imshow_mark_3d_v2, domain_tools/manual.py) are deliberately
-out of scope for a headless TPU pipeline — their outputs (manual picks)
-enter through the ordinary array APIs instead.
+Matplotlib only (Agg-safe).  The interactive tools are event-driven
+matplotlib classes whose every mutation is also a plain method, so they
+run headless (tests, scripted curation) and interactively (notebooks)
+from the same code path.
 """
 
 from .plots import (plot_distance_map, plot_boundaries, plot_projection,
@@ -19,9 +21,11 @@ from .plots import (plot_distance_map, plot_boundaries, plot_projection,
 from .render3d import (normalize_center_spots,
                        chromosome_structure_3d_rendering,
                        visualize_chromosome_3d_cloud, spots_to_density)
+from .interactive import SpotBrowser, BoundaryMarker
 
 __all__ = ["plot_distance_map", "plot_boundaries", "plot_projection",
            "plot_decode_stats", "plot_spot_overlay",
            "plot_segmentation_labels", "plot_cell_spot_counts",
            "normalize_center_spots", "chromosome_structure_3d_rendering",
-           "visualize_chromosome_3d_cloud", "spots_to_density"]
+           "visualize_chromosome_3d_cloud", "spots_to_density",
+           "SpotBrowser", "BoundaryMarker"]
