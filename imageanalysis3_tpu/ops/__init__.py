@@ -25,6 +25,9 @@ from .profiles import (IlluminationProfiler, generate_bleed_profile,
                        generate_chromatic_constants, counting_quantile,
                        fit_spot_pair_regressions, invert_mixing_profile)
 from .seeding import get_seeds, Seeds
+from .legacy_fit import (get_seed_points_base, fitsinglegaussian_fixed_width,
+                         fit_seed_points_base, get_STD_centers,
+                         fit_multi_gaussian)
 from .warp import (warp_image, warp_image_drift, warp_spot_coords,
                    fit_chromatic_constants, trilinear_map_coordinates)
 
@@ -50,6 +53,8 @@ __all__ = [
     "generate_chromatic_constants", "counting_quantile",
     "fit_spot_pair_regressions", "invert_mixing_profile",
     "get_seeds", "Seeds",
+    "get_seed_points_base", "fitsinglegaussian_fixed_width",
+    "fit_seed_points_base", "get_STD_centers", "fit_multi_gaussian",
     "warp_image", "warp_image_drift", "warp_spot_coords",
     "fit_chromatic_constants", "trilinear_map_coordinates",
 ]
