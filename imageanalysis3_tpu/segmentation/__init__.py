@@ -1,6 +1,7 @@
 """Segmentation: nuclei labeling, chromosome candidates, mask adapters."""
 
-from .nuclei import (otsu_threshold, segment_nuclei, segment_cells,
+from .nuclei import (shape_ratio, screen_labels, split_oversized_nuclei,
+                     otsu_threshold, segment_nuclei, segment_cells,
                      propagate_labels, label_sizes, merge_z_layer_masks,
                      interpolate_z_masks)
 from .chromosome import find_candidate_chromosomes, assign_seeds_to_nuclei
@@ -9,7 +10,8 @@ from .learned import (init_unet_params, unet_apply, masks_from_flows,
                       segment_cells_learned, segment_fov_learned,
                       save_weights, load_weights)
 
-__all__ = ["otsu_threshold", "segment_nuclei", "segment_cells",
+__all__ = ["shape_ratio", "screen_labels", "split_oversized_nuclei",
+           "otsu_threshold", "segment_nuclei", "segment_cells",
            "propagate_labels", "label_sizes", "merge_z_layer_masks",
            "interpolate_z_masks", "find_candidate_chromosomes",
            "assign_seeds_to_nuclei", "init_unet_params", "unet_apply",

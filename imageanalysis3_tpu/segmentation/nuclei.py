@@ -198,6 +198,120 @@ def _step_costs(pixel_sizes) -> Tuple[float, float, float]:
     return tuple(float(v) for v in p)
 
 
+def shape_ratio(label_mask_2d: np.ndarray) -> float:
+    """Area / perimeter^2 of one label's xy footprint — the reference's
+    roundness screen (visual_tools.py:1455-1495 min_shape_ratio; a disc
+    scores ~1/(4*pi) ~= 0.08, snakes and debris score far lower)."""
+    m = np.asarray(label_mask_2d, bool)
+    area = int(m.sum())
+    if area == 0:
+        return 0.0
+    pad = np.pad(m, 1)
+    interior = (pad[:-2, 1:-1] & pad[2:, 1:-1]
+                & pad[1:-1, :-2] & pad[1:-1, 2:])
+    perimeter = int((m & ~interior).sum())
+    return area / max(perimeter, 1) ** 2
+
+
+def screen_labels(labels, min_size_voxels: int = 0,
+                  min_shape_ratio: float = 0.0,
+                  boundary_margin: int = 0) -> np.ndarray:
+    """Drop labels that fail the reference's post-segmentation screens
+    (DAPI_convoluted_segmentation, visual_tools.py:1440-1530): too few
+    voxels, too snake-like in xy footprint (`min_shape_ratio`), or any
+    xy support within `boundary_margin` px of the FOV edge
+    (remove_fov_boundary).  Returns a relabeled (1..K) int32 volume."""
+    labels = np.asarray(labels)
+    out = np.zeros_like(labels, np.int32)
+    nxt = 1
+    for l in np.unique(labels):
+        if l == 0:
+            continue
+        m = labels == l
+        if int(m.sum()) < min_size_voxels:
+            continue
+        proj = m.any(axis=0)
+        if min_shape_ratio > 0 and shape_ratio(proj) < min_shape_ratio:
+            continue
+        if boundary_margin > 0:
+            xs, ys = np.nonzero(proj)
+            if (xs.min() < boundary_margin or ys.min() < boundary_margin
+                    or xs.max() >= proj.shape[0] - boundary_margin
+                    or ys.max() >= proj.shape[1] - boundary_margin):
+                continue
+        out[m] = nxt
+        nxt += 1
+    return out
+
+
+def _peak_seeds(im: np.ndarray, mask: np.ndarray, k: int,
+                min_distance: float) -> np.ndarray:
+    """Up to k brightest mutually-distant voxels inside `mask`
+    (deterministic peak picking with suppression)."""
+    vals = np.where(mask, im, -np.inf)
+    picks = []
+    zz, xx, yy = np.meshgrid(*[np.arange(s) for s in im.shape],
+                             indexing="ij")
+    coords = np.stack([zz, xx, yy], axis=-1)
+    for _ in range(k):
+        i = np.unravel_index(np.argmax(vals), vals.shape)
+        if not np.isfinite(vals[i]):
+            break
+        picks.append(i)
+        d2 = ((coords - np.asarray(i)) ** 2).sum(-1)
+        vals[d2 < min_distance ** 2] = -np.inf
+    return np.asarray(picks, np.int64).reshape(-1, 3)
+
+
+def split_oversized_nuclei(im, labels, max_size_voxels: int,
+                           shrink_percent: float = 15.0,
+                           max_iter: int = 4,
+                           seed_min_distance: float = 12.0,
+                           max_seeds_per_label: int = 3,
+                           smooth_sigma: float = 2.0,
+                           max_iters: int = 256,
+                           pixel_sizes=None) -> np.ndarray:
+    """Iteratively split labels larger than `max_size_voxels`: shrink
+    each oversized label to its top-(100-shrink_percent)% intensity
+    core, re-seed the core's intensity peaks, and re-propagate within
+    the original label support — the device-kernel form of the
+    reference's shrink/conv/random-walker splitting loop
+    (visual_tools.py:1496-1580: shrink_percent, max_iter).  Labels that
+    produce a single core seed are kept whole."""
+    im_s = np.asarray(gaussian_filter(jnp.asarray(im, jnp.float32),
+                                      smooth_sigma))
+    labels = np.asarray(labels).copy()
+    for _ in range(max(max_iter, 1)):
+        ids, counts = np.unique(labels[labels > 0], return_counts=True)
+        oversized = ids[counts > max_size_voxels]
+        if len(oversized) == 0:
+            break
+        changed = False
+        nxt = int(labels.max()) + 1
+        for l in oversized:
+            m = labels == l
+            thr = np.quantile(im_s[m], shrink_percent / 100.0)
+            core = m & (im_s >= thr)
+            seeds = _peak_seeds(im_s, core, max_seeds_per_label,
+                                seed_min_distance)
+            if len(seeds) < 2:
+                continue
+            seed_vol = np.zeros(labels.shape, np.int32)
+            new_ids = [l] + [nxt + j for j in range(len(seeds) - 1)]
+            nxt += len(seeds) - 1
+            for sid, (z, x, y) in zip(new_ids, seeds):
+                seed_vol[z, x, y] = sid
+            sub = np.asarray(propagate_labels(
+                jnp.asarray(seed_vol), jnp.asarray(m),
+                max_iters=max_iters,
+                step_costs=_step_costs(pixel_sizes)))
+            labels[m] = sub[m]
+            changed = True
+        if not changed:
+            break
+    return labels
+
+
 def segment_cells(dapi_im: jnp.ndarray,
                   polyt_im: Optional[jnp.ndarray] = None,
                   pixel_sizes: Tuple[float, float, float] = (250.0, 108.0,

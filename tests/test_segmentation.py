@@ -306,3 +306,62 @@ def test_segment_fov_learned_downsample_roundtrip():
                    for l in range(1, labels.max() + 1))
         ious.append(best)
     assert min(ious) > 0.5, ious
+
+
+# ---------------------------------------------------------------------------
+# Label screens + oversized splitting (reference visual_tools.py:1440-1580)
+# ---------------------------------------------------------------------------
+
+
+def test_shape_ratio_disc_vs_snake():
+    xx, yy = np.meshgrid(np.arange(40), np.arange(40), indexing="ij")
+    disc = (xx - 20) ** 2 + (yy - 20) ** 2 <= 12 ** 2
+    snake = np.zeros((40, 40), bool)
+    snake[5, 2:38] = True
+    snake[5:20, 37] = True
+    assert SG.shape_ratio(disc) > 0.05
+    # a 1-px-wide line degenerates to 1/area
+    assert SG.shape_ratio(snake) <= 0.02
+    assert SG.shape_ratio(np.zeros((10, 10), bool)) == 0.0
+
+
+def test_screen_labels_size_shape_boundary():
+    labels = np.zeros((4, 60, 60), np.int32)
+    labels[:, 20:32, 20:32] = 1            # good: round-ish, interior
+    labels[:, 40:41, 5:55] = 2             # snake: 1px-wide line
+    labels[:, 2:12, 2:12] = 3              # touches boundary margin
+    labels[0, 50, 50] = 4                  # tiny
+    out = SG.screen_labels(labels, min_size_voxels=20,
+                           min_shape_ratio=0.03, boundary_margin=4)
+    kept = set(np.unique(out)) - {0}
+    assert kept == {1}
+    assert (out[:, 20:32, 20:32] == 1).all()
+
+
+def test_split_oversized_nuclei_separates_merged_pair():
+    shape = (8, 64, 64)
+    im = np.asarray(syn.render_gaussian_spots(
+        shape, np.array([[4.0, 24.0, 32.0], [4.0, 44.0, 32.0]]),
+        np.array([2000.0, 2000.0]), np.tile([2.5, 7.0, 7.0], (2, 1)),
+        background=60.0), np.float32)
+    # one merged label covering both nuclei
+    zz, xx, yy = np.meshgrid(*[np.arange(s) for s in shape],
+                             indexing="ij")
+    merged = (((xx - 24) ** 2 / 100 + (yy - 32) ** 2 / 100
+               + (zz - 4) ** 2 / 9) <= 1.0) \
+        | (((xx - 44) ** 2 / 100 + (yy - 32) ** 2 / 100
+            + (zz - 4) ** 2 / 9) <= 1.0)
+    labels = merged.astype(np.int32)
+    size = int(merged.sum())
+    out = SG.split_oversized_nuclei(im, labels,
+                                    max_size_voxels=size // 2,
+                                    seed_min_distance=10.0)
+    ids = set(np.unique(out)) - {0}
+    assert len(ids) == 2, ids
+    assert out[4, 24, 32] != out[4, 44, 32]
+    assert (out > 0).sum() == size          # support preserved
+    # an already-small label is untouched
+    small = np.zeros_like(labels)
+    small[:, 10:14, 10:14] = 1
+    same = SG.split_oversized_nuclei(im, small, max_size_voxels=10_000)
+    assert (same == small).all()
