@@ -2,8 +2,9 @@
 
 from .fov import FovPipeline, RoundResult
 from .experiment import ExperimentDriver, RoundPlan, StageTimes
-from .dax_processer import DaxProcesser
+from .dax_processer import DaxProcesser, batch_process_image_quick
 from .field_of_view import FieldOfView
 
 __all__ = ["FovPipeline", "RoundResult", "ExperimentDriver", "RoundPlan",
-           "StageTimes", "DaxProcesser", "FieldOfView"]
+           "StageTimes", "DaxProcesser", "batch_process_image_quick",
+           "FieldOfView"]

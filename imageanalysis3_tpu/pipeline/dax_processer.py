@@ -242,3 +242,40 @@ class DaxProcesser:
             np.asarray(spots_zxy, np.float32),
             np.asarray(consts, np.float32), center,
             np.asarray(drift, np.float32)))
+
+
+def batch_process_image_quick(dax_filename: str,
+                              correction_folder: Optional[str],
+                              sel_channels: Sequence[str],
+                              corr_hot_pixels: bool = True,
+                              corr_illumination: bool = True,
+                              verbose: bool = False,
+                              **dax_kwargs) -> Dict[str, np.ndarray]:
+    """Quick DaxProcesser application (reference
+    batch_process_image_quick, classes/preprocess.py:1257+): load the
+    selected channels, apply hot-pixel and illumination corrections,
+    return the per-channel stacks.  Illumination profiles load from
+    `correction_folder` by the reference naming convention and are
+    skipped (with a note when verbose) if absent.  Extra kwargs
+    (all_channels, single_im_size, num_buffer_frames, ...) pass through
+    to DaxProcesser for files whose geometry auto-detection can't
+    infer."""
+    from ..io.profiles_io import load_correction_profile
+
+    proc = DaxProcesser(dax_filename, correction_channels=sel_channels,
+                        verbose=verbose, **dax_kwargs)
+    proc._load_image()
+    if corr_hot_pixels:
+        proc._corr_hot_pixels_3D()
+    if corr_illumination and correction_folder:
+        profiles: Dict[str, np.ndarray] = {}
+        for ch in sel_channels:
+            try:
+                profiles.update(load_correction_profile(
+                    "illumination", correction_folder,
+                    corr_channels=[ch], im_size=proc.single_im_size))
+            except FileNotFoundError:
+                if verbose:
+                    print(f"-- skip illumination for {ch} (no profile)")
+        proc._corr_illumination(profiles)
+    return proc.ims

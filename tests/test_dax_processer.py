@@ -75,3 +75,32 @@ def test_drift_and_coord_correction(dax_file):
     np.testing.assert_allclose(drift, shift, atol=0.2)
     corr = dp._correct_spot_coords(np.array([[5.0, 10.0, 10.0]]), "647")
     np.testing.assert_allclose(corr, [[5.0, 13.0, 8.0]], atol=0.2)
+
+
+def test_batch_process_image_quick(dax_file, tmp_path):
+    """Quick wrapper (reference batch_process_image_quick,
+    classes/preprocess.py:1257+): load + hot-pixel + illumination via
+    convention-named profiles in a correction folder."""
+    from imageanalysis3_tpu.pipeline import batch_process_image_quick
+    from imageanalysis3_tpu.io.profiles_io import save_correction_profile
+
+    path, shape, _ = dax_file
+    corr = str(tmp_path / "corrections")
+    save_correction_profile("illumination",
+                            {"750": np.full(shape[1:], 2.0, np.float32)},
+                            corr, corr_channels=["750"], im_size=shape)
+    ims = batch_process_image_quick(path, corr, ["750", "647"],
+                                    verbose=True,
+                                    all_channels=["750", "647"],
+                                    single_im_size=shape,
+                                    num_buffer_frames=4)
+    assert set(ims) == {"750", "647"}
+    assert ims["750"].shape == shape
+    # profile for 750 halves its intensities relative to 647's scale
+    raw = batch_process_image_quick(path, None, ["750"],
+                                    corr_illumination=False,
+                                    all_channels=["750", "647"],
+                                    single_im_size=shape,
+                                    num_buffer_frames=4)
+    np.testing.assert_allclose(np.median(ims["750"]),
+                               np.median(raw["750"]) / 2.0, rtol=0.05)
