@@ -98,6 +98,11 @@ def main(out_dir: str) -> None:
     pixel_nm = np.array([200.0, 108.0, 108.0])
     for chrom in CHROMS:
         hzxys = picker.chr_2_homolog_hzxys[chrom]      # (2, R, 4)
+        # match each picked homolog to its planted trace by mean position
+        means_p = np.nanmean(hzxys[:, :, 1:], axis=1)
+        means_t = truth[chrom].mean(axis=1)
+        match = [int(np.argmin(np.linalg.norm(means_t - m, axis=1)))
+                 for m in means_p]
         for h in range(hzxys.shape[0]):
             zxy_nm = hzxys[h, :, 1:] * pixel_nm[None]
             dm = np.asarray(distance_map(zxy_nm))
@@ -109,9 +114,8 @@ def main(out_dir: str) -> None:
             fig.savefig(os.path.join(out_dir,
                                      f"distmap_chr{chrom}_h{h}.png"))
             plt.close(fig)
-            err = np.linalg.norm(
-                np.sort(hzxys[:, :, 1:], axis=0)
-                - np.sort(truth[chrom], axis=0), axis=-1)
+            err = np.linalg.norm(hzxys[h, :, 1:]
+                                 - truth[chrom][match[h]], axis=-1)
             print(f"chr{chrom} h{h}: {len(starts)} domains, "
                   f"median pick error {np.nanmedian(err):.2f} px")
         ax3d, _cb = fg.chromosome_structure_3d_rendering(

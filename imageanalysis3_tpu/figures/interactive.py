@@ -35,8 +35,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-import matplotlib
-matplotlib.use("Agg", force=False)
+from ._mpl import ensure_headless_backend
+ensure_headless_backend()
 import matplotlib.pyplot as plt
 
 
@@ -142,8 +142,18 @@ class SpotBrowser:
                 & (p[:, 2] >= y0) & (p[:, 2] < y1))
 
     def set_image(self, index: int) -> None:
+        prev_shape = self.current_image.shape
         self.index_im = index % len(self.ims)
         im = self.current_image
+        if im.shape != prev_shape or not hasattr(self, "_shown_shape"):
+            # reset the zoom to the new image's full extent — stale
+            # limits from a differently-sized stack would otherwise
+            # crop the projections and _in_view() silently
+            self._shown_shape = im.shape
+            self.ax_xy.set_xlim(-0.5, im.shape[2] - 0.5)
+            self.ax_xy.set_ylim(im.shape[1] - 0.5, -0.5)
+            self.ax_z.set_xlim(-0.5, im.shape[2] - 0.5)
+            self.ax_z.set_ylim(im.shape[0] - 0.5, -0.5)
         z0, z1, x0, x1, _, _ = self.view_limits()
         self._im_xy.set_data(im[z0:z1].max(axis=0))
         self._im_z.set_data(im[:, x0:x1].max(axis=1))
@@ -172,12 +182,14 @@ class SpotBrowser:
         idx = self.index_im if image_index is None else image_index
         self.points = np.vstack([self.points, [[z, x, y]]])
         self.point_image = np.append(self.point_image, idx)
+        self.save()
         self._redraw_marks()
 
     def pop_point(self) -> None:
         if len(self.points):
             self.points = self.points[:-1]
             self.point_image = self.point_image[:-1]
+            self.save()
             self._redraw_marks()
 
     def delete_nearest(self, x: float, y: float) -> Optional[int]:
@@ -193,6 +205,7 @@ class SpotBrowser:
         victim = rows[int(np.argmin(d))]
         self.points = np.delete(self.points, victim, axis=0)
         self.point_image = np.delete(self.point_image, victim)
+        self.save()
         self._redraw_marks()
         return int(victim)
 
@@ -205,6 +218,7 @@ class SpotBrowser:
         rows = np.flatnonzero(keep)
         victim = rows[int(np.argmin(np.abs(self.points[rows, 2] - y)))]
         self.points[victim, 0] = z
+        self.save()
         self._redraw_marks()
 
     def image_points(self, index: Optional[int] = None) -> np.ndarray:
@@ -218,6 +232,7 @@ class SpotBrowser:
         self.point_image = np.append(
             self.point_image[keep],
             np.full(len(coords_zxy), self.index_im, np.int64))
+        self.save()
         self._redraw_marks()
 
     # -- kernels ----------------------------------------------------------
@@ -253,7 +268,7 @@ class SpotBrowser:
         res = iter_fit_seed_points(
             jnp.asarray(self.current_image, jnp.float32),
             jnp.asarray(seeds), jnp.ones(len(seeds), bool),
-            **self.fit_kwargs, **overrides)
+            **{**self.fit_kwargs, **overrides})
         ok = np.asarray(res.valid)
         rows = np.asarray(res.spots)[ok]
         keep = ~sel & (self.point_image == self.index_im)
@@ -265,6 +280,7 @@ class SpotBrowser:
             [other_ids, np.full(len(kept), self.index_im, np.int64),
              np.full(len(rows), self.index_im, np.int64)])
         self.fits[self.index_im] = rows
+        self.save()
         self._redraw_marks()
         return rows
 
@@ -333,7 +349,6 @@ class SpotBrowser:
         p = self.points[sel]
         self._marks_xy.set_data(p[:, 2], p[:, 1])
         self._marks_z.set_data(p[:, 2], p[:, 0])
-        self.save()
         self.fig.canvas.draw_idle()
 
 
@@ -404,6 +419,7 @@ class BoundaryMarker:
         pos = (float(x) + float(y)) / 2.0
         self.positions = np.append(self.positions, pos)
         self.map_index = np.append(self.map_index, idx)
+        self.save()
         self._redraw()
         return pos
 
@@ -416,6 +432,7 @@ class BoundaryMarker:
         victim = rows[int(np.argmin(np.abs(self.positions[rows] - target)))]
         self.positions = np.delete(self.positions, victim)
         self.map_index = np.delete(self.map_index, victim)
+        self.save()
         self._redraw()
         return int(victim)
 
@@ -423,6 +440,7 @@ class BoundaryMarker:
         if len(self.positions):
             self.positions = self.positions[:-1]
             self.map_index = self.map_index[:-1]
+            self.save()
             self._redraw()
 
     def set_image(self, index: int) -> None:
@@ -479,10 +497,10 @@ class BoundaryMarker:
             os.makedirs(d, exist_ok=True)
         np.savez(path, positions=self.positions,
                  map_index=self.map_index,
-                 names=np.asarray(self.names, dtype=object))
+                 names=np.asarray([str(n) for n in self.names]))
 
     def load(self, path: str) -> None:
-        data = np.load(path, allow_pickle=True)
+        data = np.load(path)
         self.positions = np.asarray(data["positions"], np.float64)
         self.map_index = np.asarray(data["map_index"], np.int64)
 
@@ -526,5 +544,4 @@ class BoundaryMarker:
     def _redraw(self) -> None:
         xs, ys = self.staircase()
         self._stairs.set_data(xs, ys)
-        self.save()
         self.fig.canvas.draw_idle()

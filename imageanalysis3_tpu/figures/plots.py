@@ -11,8 +11,8 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-import matplotlib
-matplotlib.use("Agg", force=False)
+from ._mpl import ensure_headless_backend
+ensure_headless_backend()
 import matplotlib.pyplot as plt
 
 

@@ -27,8 +27,9 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ._mpl import ensure_headless_backend
+ensure_headless_backend()
 import matplotlib
-matplotlib.use("Agg", force=False)
 import matplotlib.pyplot as plt
 from matplotlib import cm as mcm
 

@@ -242,8 +242,10 @@ def get_STD_centers(im, seeds=None, th_seed: float = 150.0,
         valid = s.valid
     else:
         arr = np.asarray(seeds, np.float64)
-        if arr.shape[0] in (3, 4) and arr.shape[0] != arr.shape[1]:
-            arr = arr[:3].T                      # accept (3, N) seeding format
+        # accept the (3|4, N) seeding-column format, but never mistake
+        # N rows of (z, x, y) for it: rows with 3 columns always win
+        if arr.ndim == 2 and arr.shape[0] in (3, 4) and arr.shape[1] != 3:
+            arr = arr[:3].T
         seeds_zxy = jnp.asarray(arr[:, :3], jnp.float32)
         valid = jnp.ones(len(arr), bool)
     res = iter_fit_seed_points(imj, seeds_zxy, valid, radius=fit_radius)
@@ -254,7 +256,8 @@ def get_STD_centers(im, seeds=None, th_seed: float = 150.0,
         rows = rows[np.argsort(rows[:, 0])[::-1]]
     beads = rows[:, 1:4]
     drop = np.isnan(beads).any(axis=1)
-    drop |= (beads < 0).any(axis=1) | (beads > np.asarray(im.shape)).any(1)
+    # valid indices are [0, shape): a center exactly at the extent is out
+    drop |= (beads < 0).any(axis=1) | (beads >= np.asarray(im.shape)).any(1)
     if remove_close_pts:
         d2 = ((beads[:, None] - beads[None]) ** 2).sum(-1)
         drop |= (d2 < close_threshold).sum(1) > 1     # includes self

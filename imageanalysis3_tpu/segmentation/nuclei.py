@@ -213,6 +213,22 @@ def shape_ratio(label_mask_2d: np.ndarray) -> float:
     return area / max(perimeter, 1) ** 2
 
 
+def _label_bboxes(labels: np.ndarray):
+    """One pass over the volume: per-label (sizes, bbox mins, bbox maxs)
+    — inclusive bounds, index 0 = background.  Keeps the screens and the
+    splitter O(V + Σ bbox) instead of O(K·V)."""
+    n = int(labels.max())
+    pos = np.nonzero(labels)
+    ids = labels[pos]
+    sizes = np.bincount(ids, minlength=n + 1)
+    mins = np.full((n + 1, 3), np.iinfo(np.int64).max)
+    maxs = np.full((n + 1, 3), -1)
+    for a in range(3):
+        np.minimum.at(mins[:, a], ids, pos[a])
+        np.maximum.at(maxs[:, a], ids, pos[a])
+    return sizes, mins, maxs
+
+
 def screen_labels(labels, min_size_voxels: int = 0,
                   min_shape_ratio: float = 0.0,
                   boundary_margin: int = 0) -> np.ndarray:
@@ -222,44 +238,44 @@ def screen_labels(labels, min_size_voxels: int = 0,
     xy support within `boundary_margin` px of the FOV edge
     (remove_fov_boundary).  Returns a relabeled (1..K) int32 volume."""
     labels = np.asarray(labels)
-    out = np.zeros_like(labels, np.int32)
+    sizes, mins, maxs = _label_bboxes(labels)
+    remap = np.zeros(len(sizes), np.int32)
     nxt = 1
-    for l in np.unique(labels):
-        if l == 0:
-            continue
-        m = labels == l
-        if int(m.sum()) < min_size_voxels:
-            continue
-        proj = m.any(axis=0)
-        if min_shape_ratio > 0 and shape_ratio(proj) < min_shape_ratio:
+    for l in range(1, len(sizes)):
+        if sizes[l] == 0 or sizes[l] < min_size_voxels:
             continue
         if boundary_margin > 0:
-            xs, ys = np.nonzero(proj)
-            if (xs.min() < boundary_margin or ys.min() < boundary_margin
-                    or xs.max() >= proj.shape[0] - boundary_margin
-                    or ys.max() >= proj.shape[1] - boundary_margin):
+            if (mins[l, 1] < boundary_margin or mins[l, 2] < boundary_margin
+                    or maxs[l, 1] >= labels.shape[1] - boundary_margin
+                    or maxs[l, 2] >= labels.shape[2] - boundary_margin):
                 continue
-        out[m] = nxt
+        if min_shape_ratio > 0:
+            box = tuple(slice(mins[l, a], maxs[l, a] + 1) for a in range(3))
+            if shape_ratio((labels[box] == l).any(axis=0)) < min_shape_ratio:
+                continue
+        remap[l] = nxt
         nxt += 1
-    return out
+    return remap[labels]
 
 
 def _peak_seeds(im: np.ndarray, mask: np.ndarray, k: int,
                 min_distance: float) -> np.ndarray:
     """Up to k brightest mutually-distant voxels inside `mask`
-    (deterministic peak picking with suppression)."""
-    vals = np.where(mask, im, -np.inf)
+    (deterministic peak picking with suppression).  Works on sparse
+    candidate coordinates, never a full-volume grid."""
+    pos = np.stack(np.nonzero(mask), axis=1)
+    if len(pos) == 0:
+        return np.zeros((0, 3), np.int64)
+    vals = im[tuple(pos.T)].astype(np.float64).copy()
     picks = []
-    zz, xx, yy = np.meshgrid(*[np.arange(s) for s in im.shape],
-                             indexing="ij")
-    coords = np.stack([zz, xx, yy], axis=-1)
+    alive = np.ones(len(pos), bool)
     for _ in range(k):
-        i = np.unravel_index(np.argmax(vals), vals.shape)
-        if not np.isfinite(vals[i]):
+        if not alive.any():
             break
-        picks.append(i)
-        d2 = ((coords - np.asarray(i)) ** 2).sum(-1)
-        vals[d2 < min_distance ** 2] = -np.inf
+        i = int(np.argmax(np.where(alive, vals, -np.inf)))
+        picks.append(pos[i])
+        d2 = ((pos - pos[i]) ** 2).sum(1)
+        alive &= d2 >= min_distance ** 2
     return np.asarray(picks, np.int64).reshape(-1, 3)
 
 
@@ -282,21 +298,27 @@ def split_oversized_nuclei(im, labels, max_size_voxels: int,
                                       smooth_sigma))
     labels = np.asarray(labels).copy()
     for _ in range(max(max_iter, 1)):
-        ids, counts = np.unique(labels[labels > 0], return_counts=True)
-        oversized = ids[counts > max_size_voxels]
-        if len(oversized) == 0:
+        sizes, mins, maxs = _label_bboxes(labels)
+        oversized = [l for l in range(1, len(sizes))
+                     if sizes[l] > max_size_voxels]
+        if not oversized:
             break
         changed = False
         nxt = int(labels.max()) + 1
         for l in oversized:
-            m = labels == l
-            thr = np.quantile(im_s[m], shrink_percent / 100.0)
-            core = m & (im_s >= thr)
-            seeds = _peak_seeds(im_s, core, max_seeds_per_label,
+            # all work happens inside the label's bounding box
+            box = tuple(slice(int(mins[l, a]), int(maxs[l, a]) + 1)
+                        for a in range(3))
+            sub_lab = labels[box]
+            m = sub_lab == l
+            sub_im = im_s[box]
+            thr = np.quantile(sub_im[m], shrink_percent / 100.0)
+            core = m & (sub_im >= thr)
+            seeds = _peak_seeds(sub_im, core, max_seeds_per_label,
                                 seed_min_distance)
             if len(seeds) < 2:
                 continue
-            seed_vol = np.zeros(labels.shape, np.int32)
+            seed_vol = np.zeros(sub_lab.shape, np.int32)
             new_ids = [l] + [nxt + j for j in range(len(seeds) - 1)]
             nxt += len(seeds) - 1
             for sid, (z, x, y) in zip(new_ids, seeds):
@@ -305,7 +327,7 @@ def split_oversized_nuclei(im, labels, max_size_voxels: int,
                 jnp.asarray(seed_vol), jnp.asarray(m),
                 max_iters=max_iters,
                 step_costs=_step_costs(pixel_sizes)))
-            labels[m] = sub[m]
+            sub_lab[m] = sub[m]
             changed = True
         if not changed:
             break
