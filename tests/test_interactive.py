@@ -167,3 +167,33 @@ def test_boundary_marker_autoscale_percentile():
     vals = mp[np.isfinite(mp)]
     assert abs(lo - np.percentile(vals, 10.0)) < 1e-9
     assert abs(hi - np.percentile(vals, 90.0)) < 1e-9
+
+
+def test_spot_browser_mutations_persist_without_explicit_save(tmp_path):
+    # every mutation must hit disk immediately (crash-safe curation),
+    # and non-mutating redraws must not be the thing that saves
+    im, _ = _spot_stack()
+    path = str(tmp_path / "picks.npz")
+    b = SpotBrowser([im], save_file=path)
+    b.add_point(4, 15, 20)
+    assert len(SpotBrowser([im], save_file=path).points) == 1
+    b.pop_point()
+    assert len(SpotBrowser([im], save_file=path).points) == 0
+
+
+def test_spot_browser_view_resets_on_image_size_change():
+    im, _ = _spot_stack()                       # (8, 48, 48)
+    b = SpotBrowser([im, im[:, :24, :24]])
+    b.set_image(1)
+    assert b.ax_xy.get_xlim() == (-0.5, 23.5)
+    b.set_image(0)
+    assert b.ax_xy.get_xlim() == (-0.5, 47.5)
+
+
+def test_boundary_marker_npz_loads_without_pickle(tmp_path):
+    path = str(tmp_path / "bnd.npz")
+    m = BoundaryMarker([np.eye(20)], names=["chr1"], save_file=path)
+    m.add_boundary(4.2, 4.8)
+    data = np.load(path)                        # allow_pickle defaults False
+    assert list(data["positions"]) == [4.5]
+    assert str(data["names"][0]) == "chr1"

@@ -112,3 +112,21 @@ def test_fit_multi_gaussian_full_rows_and_min_height():
     rows2 = ops.fit_multi_gaussian(im2, centers[:1], fit_radius=5,
                                    min_height=1000.0)
     assert len(rows2) == 1
+
+
+def test_get_std_centers_seed_layouts_agree():
+    # (N, 3) rows and the (3, N) seeding-column format fit the same
+    # spots; the ambiguous (3, 3) case must be read as rows
+    centers = np.array([[6.0, 14.0, 16.0], [6.0, 30.0, 34.0],
+                        [3.0, 38.0, 12.0], [9.0, 10.0, 38.0]])
+    im, _ = _spot_image(centers=centers,
+                        heights=np.full(4, 3000.0))
+    rows = ops.get_STD_centers(im, seeds=centers)
+    cols = ops.get_STD_centers(im, seeds=centers.T)
+    assert rows.shape == cols.shape == (4, 3)
+    assert np.allclose(np.sort(rows, 0), np.sort(cols, 0), atol=1e-5)
+    d = np.linalg.norm(rows[:, None] - centers[None], axis=-1)
+    assert (d.min(1) < 0.1).all()
+    three = ops.get_STD_centers(im, seeds=centers[:3])
+    d3 = np.linalg.norm(three[:, None] - centers[:3][None], axis=-1)
+    assert three.shape == (3, 3) and (d3.min(1) < 0.1).all()

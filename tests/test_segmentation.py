@@ -365,3 +365,15 @@ def test_split_oversized_nuclei_separates_merged_pair():
     small[:, 10:14, 10:14] = 1
     same = SG.split_oversized_nuclei(im, small, max_size_voxels=10_000)
     assert (same == small).all()
+
+
+def test_label_bboxes_match_bruteforce():
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, 5, size=(6, 30, 30)).astype(np.int32)
+    from imageanalysis3_tpu.segmentation.nuclei import _label_bboxes
+    sizes, mins, maxs = _label_bboxes(labels)
+    for l in range(1, 5):
+        pos = np.array(np.nonzero(labels == l))
+        assert sizes[l] == pos.shape[1]
+        assert (mins[l] == pos.min(1)).all()
+        assert (maxs[l] == pos.max(1)).all()
