@@ -28,6 +28,8 @@ from .postanalysis import (is_in_hull, hull_distance,
                            bootstrap_regions_in_domain,
                            region_genomic_scaling, score_from_density,
                            local_maximum_in_density)
+from .traces import (nan_gaussian_filter, interp1dnan, interpolate_chr,
+                     extract_sequences)
 from .cell_locations import (load_position_file,
                              segmentation_to_cell_locations,
                              translate_cell_locations,
@@ -54,6 +56,8 @@ __all__ = [
     "is_in_hull", "hull_distance", "bootstrap_spots_in_domain",
     "bootstrap_regions_in_domain", "region_genomic_scaling",
     "score_from_density", "local_maximum_in_density",
+    "nan_gaussian_filter", "interp1dnan", "interpolate_chr",
+    "extract_sequences",
     "load_position_file",
     "segmentation_to_cell_locations", "translate_cell_locations",
     "merge_cell_locations",

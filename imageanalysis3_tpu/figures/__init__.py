@@ -22,10 +22,17 @@ from .render3d import (normalize_center_spots,
                        chromosome_structure_3d_rendering,
                        visualize_chromosome_3d_cloud, spots_to_density)
 from .interactive import SpotBrowser, BoundaryMarker
+from .color import (myReds, myBlues, myGreens, myReds_r, myBlues_r,
+                    myGreens_r, transparent_cmap, black_gradient,
+                    transparent_gradient, normalize_color)
 
 __all__ = ["plot_distance_map", "plot_boundaries", "plot_projection",
            "plot_decode_stats", "plot_spot_overlay",
            "plot_segmentation_labels", "plot_cell_spot_counts",
            "normalize_center_spots", "chromosome_structure_3d_rendering",
            "visualize_chromosome_3d_cloud", "spots_to_density",
-           "SpotBrowser", "BoundaryMarker"]
+           "SpotBrowser", "BoundaryMarker",
+           "myReds", "myBlues", "myGreens",
+           "myReds_r", "myBlues_r", "myGreens_r",
+           "transparent_cmap", "black_gradient", "transparent_gradient",
+           "normalize_color"]

@@ -125,3 +125,33 @@ def test_plot_cell_spot_counts(tmp_path):
     p = str(tmp_path / "partition.png")
     FG.plot_cell_spot_counts(counts, expected_count=60, save_path=p)
     assert os.path.getsize(p) > 1000
+
+
+def test_colormap_helpers():
+    import matplotlib.pyplot as plt
+    # transparent_cmap: new object, alpha ramp, source untouched
+    src = plt.get_cmap("viridis")
+    t = FG.transparent_cmap(src, N=64, max_alpha=0.8)
+    assert t is not src
+    cols = t(np.linspace(0, 1, 64))
+    assert cols[0, 3] < 1e-6 and abs(cols[-1, 3] - 0.8) < 0.02
+    assert src(1.0)[3] == 1.0
+    # black_gradient: starts at black, ends at the color
+    g = FG.black_gradient((1.0, 0.5, 0.0))
+    assert np.allclose(g(0.0)[:3], 0, atol=0.01)
+    assert np.allclose(g(1.0)[:3], (1.0, 0.5, 0.0), atol=0.01)
+    # transparent_gradient: constant color, ramped alpha
+    tg = FG.transparent_gradient((0.2, 0.4, 0.9))
+    assert np.allclose(tg(0.3)[:3], (0.2, 0.4, 0.9), atol=0.01)
+    assert tg(0.0)[3] < tg(1.0)[3]
+    # white->primary ramps
+    assert np.allclose(FG.myReds(1.0), (1, 0, 0, 1), atol=0.01)
+    assert np.allclose(FG.myReds_r(0.0), (1, 0, 0, 1), atol=0.01)
+
+
+def test_normalize_color_clips_and_scales():
+    m = np.array([[0.0, 5.0], [10.0, np.nan]])
+    out = FG.normalize_color(m, vmin=2.0, vmax=8.0)
+    assert out[0, 0] == 0.0 and out[1, 0] == 1.0
+    assert abs(out[0, 1] - 0.5) < 1e-9
+    assert np.isnan(out[1, 1])

@@ -154,3 +154,69 @@ def test_local_maximum_in_density_finds_planted_bumps():
                                        intensity_ratio=0.25)
     assert np.min(np.linalg.norm(
         coords2 - np.array([3, 16, 5]), axis=1)) > 2.0
+
+
+# ---------------------------------------------------------------------------
+# Trace conditioning (domain_tools/__init__.py:5-57)
+# ---------------------------------------------------------------------------
+
+
+def test_nan_gaussian_filter_scipy_parity():
+    from scipy.ndimage import gaussian_filter as sp_gauss
+    from imageanalysis3_tpu.analysis import nan_gaussian_filter
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=60)
+    a[[5, 6, 30, 31, 32]] = np.nan
+    # reference algorithm transliterated: blur zero-filled values and
+    # the finite mask with the same reflect-mode kernel, take the ratio
+    v = np.where(np.isnan(a), 0.0, a)
+    w = np.where(np.isnan(a), 0.0, 1.0)
+    want = sp_gauss(v, 2.0) / sp_gauss(w, 2.0)
+    got = np.asarray(nan_gaussian_filter(a, 2.0))
+    assert np.allclose(got, want, atol=1e-5)
+    kept = np.asarray(nan_gaussian_filter(a, 2.0, keep_nan=True))
+    assert np.isnan(kept[5]) and np.isfinite(kept[4])
+
+
+def test_interp1dnan_fills_gaps():
+    from imageanalysis3_tpu.analysis import interp1dnan
+    a = np.array([np.nan, 1.0, np.nan, 3.0, np.nan])
+    out = interp1dnan(a)
+    assert np.allclose(out, [1.0, 1.0, 2.0, 3.0, 3.0])  # ends clamp
+    assert np.isnan(interp1dnan(np.full(3, np.nan))).all()
+
+
+def test_interpolate_chr_linear_and_extrapolated():
+    from imageanalysis3_tpu.analysis import interpolate_chr
+    n = 10
+    truth = np.stack([np.linspace(0, 9, n),
+                      np.linspace(5, -4, n),
+                      np.full(n, 2.0)], axis=1)
+    trace = truth.copy()
+    trace[0] = np.nan          # needs extrapolation
+    trace[4:6] = np.nan        # interior gap
+    trace[9, 1] = np.nan       # partially-NaN row is NOT an anchor
+    out = interpolate_chr(trace)
+    assert np.allclose(out, truth, atol=1e-9)
+    # all-NaN trace returned unchanged
+    assert np.isnan(interpolate_chr(np.full((4, 3), np.nan))).all()
+
+
+def test_interpolate_chr_gaussian_smooths_anchors():
+    from imageanalysis3_tpu.analysis import interpolate_chr
+    rng = np.random.default_rng(1)
+    trace = np.cumsum(rng.normal(size=(40, 3)), axis=0)
+    trace[10:13] = np.nan
+    out = interpolate_chr(trace, gaussian=1.5)
+    assert np.isfinite(out).all()
+    # smoothing must reduce the second-difference roughness
+    rough = lambda t: np.nanmean(np.abs(np.diff(t, 2, axis=0)))
+    assert rough(out) < rough(trace)
+
+
+def test_extract_sequences_splits_domains():
+    from imageanalysis3_tpu.analysis import extract_sequences
+    zxy = np.arange(30, dtype=float).reshape(10, 3)
+    segs = extract_sequences(zxy, [0, 4, 7])
+    assert [len(s) for s in segs] == [4, 3, 3]
+    assert np.allclose(np.vstack(segs), zxy)
