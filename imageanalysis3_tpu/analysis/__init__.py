@@ -9,7 +9,8 @@ from .domains import (sliding_window_dist, find_peaks_1d,
                       sliding_window_domain_calling,
                       contact_correlation_domain_calling,
                       merge_domain_by_contact_correlation,
-                      neighboring_distance)
+                      neighboring_distance,
+                      domain_stat, domain_neighboring_stats)
 from .compartments import (normalize_center_spots, ab_axis_projection,
                            spots_to_density, compartment_scores,
                            ab_compartment_eigenscore)
@@ -30,6 +31,11 @@ from .postanalysis import (is_in_hull, hull_distance,
                            local_maximum_in_density)
 from .traces import (nan_gaussian_filter, interp1dnan, interpolate_chr,
                      extract_sequences)
+from .genome import (sort_chr, summarize_chr_pair, genome_summary_dict,
+                     generate_plot_order, generate_plot_chr_edges,
+                     assemble_dist_dict_to_matrix, contact_prob,
+                     center_chr_traces, merge_chr_traces,
+                     find_interaction_groups, chr_to_density_clouds)
 from .cell_locations import (load_position_file,
                              segmentation_to_cell_locations,
                              translate_cell_locations,
@@ -44,6 +50,7 @@ __all__ = [
     "iterative_domain_calling", "sliding_window_domain_calling",
     "contact_correlation_domain_calling",
     "merge_domain_by_contact_correlation", "neighboring_distance",
+    "domain_stat", "domain_neighboring_stats",
     "normalize_center_spots", "ab_axis_projection", "spots_to_density",
     "compartment_scores", "ab_compartment_eigenscore",
     "spots_to_labels", "spots_to_intensity", "count_genes",
@@ -61,4 +68,9 @@ __all__ = [
     "load_position_file",
     "segmentation_to_cell_locations", "translate_cell_locations",
     "merge_cell_locations",
+    "sort_chr", "summarize_chr_pair", "genome_summary_dict",
+    "generate_plot_order", "generate_plot_chr_edges",
+    "assemble_dist_dict_to_matrix", "contact_prob",
+    "center_chr_traces", "merge_chr_traces", "find_interaction_groups",
+    "chr_to_density_clouds",
 ]

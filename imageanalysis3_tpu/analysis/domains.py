@@ -575,3 +575,102 @@ def find_matched_starts(starts, ref_starts, dom_sz: int = 5,
         if len(hits) == 1 or (len(hits) > 1 and not ignore_multi_match):
             out.append(ref[hits[0]])
     return np.asarray(out, int)
+
+
+# ---------------------------------------------------------------------------
+# Domain difference statistics (KS / t-test)
+# ---------------------------------------------------------------------------
+
+
+def domain_stat(coordinates: np.ndarray,
+                dom1_bounds: Sequence[int], dom2_bounds: Sequence[int],
+                method: str = "ks",
+                normalization_mat: Optional[np.ndarray] = None,
+                return_pval: bool = True):
+    """Signed separation statistic between two domain segments (reference
+    domain_stat, domain_tools/distance.py:285-380): pool the two segments'
+    intra distances against their inter distances, compare the samples
+    with a two-sample KS statistic (signed by median(inter)-median(intra))
+    or a t-test on distances normalized by the pooled median.
+
+    `coordinates` is either an (R, 3) trace or an (R, R) distance matrix;
+    `normalization_mat` optionally divides every distance by an expected
+    matrix before comparison.
+    """
+    coords = np.asarray(coordinates, np.float64)
+    method = str(method).lower()
+    if method not in ("ks", "ttest"):
+        raise ValueError(f"method must be ks|ttest, got {method}")
+    s1, e1 = (int(b) for b in dom1_bounds)
+    s2, e2 = (int(b) for b in dom2_bounds)
+    if coords.ndim != 2:
+        raise ValueError("coordinates must be 2D")
+    if coords.shape[0] == coords.shape[1]:   # square wins, as in the ref
+        mat = coords
+    elif coords.shape[1] == 3:
+        mat = np.linalg.norm(coords[:, None] - coords[None], axis=-1)
+    else:
+        raise ValueError("coordinates must be (R, 3) or a square matrix")
+    b1 = mat[s1:e1, s1:e1]
+    b2 = mat[s2:e2, s2:e2]
+    intra = [b1[np.triu_indices(len(b1), 1)],
+             b2[np.triu_indices(len(b2), 1)]]
+    inter = mat[s1:e1, s2:e2].ravel()
+    if normalization_mat is not None:
+        norm = np.asarray(normalization_mat, np.float64)
+        n1 = norm[s1:e1, s1:e1]
+        n2 = norm[s2:e2, s2:e2]
+        intra = [intra[0] / n1[np.triu_indices(len(n1), 1)],
+                 intra[1] / n2[np.triu_indices(len(n2), 1)]]
+        inter = inter / norm[s1:e1, s2:e2].ravel()
+    intra = np.concatenate(intra)
+    kept_intra = intra[np.isfinite(intra)]
+    kept_inter = inter[np.isfinite(inter)]
+    if len(kept_intra) == 0 or len(kept_inter) == 0:
+        return (0.0, 1.0) if return_pval else 0.0
+    if method == "ks":
+        from scipy.stats import ks_2samp
+        sign = np.sign(np.nanmedian(inter) - np.nanmedian(intra))
+        stat, pval = ks_2samp(kept_inter, kept_intra)
+        stat = sign * stat
+    else:
+        from scipy.stats import ttest_ind
+        scale = np.mean([np.nanmedian(kept_inter), np.nanmedian(kept_intra)])
+        stat, pval = ttest_ind(kept_inter / scale, kept_intra / scale)
+    return (float(stat), float(pval)) if return_pval else float(stat)
+
+
+def domain_neighboring_stats(coordinates: np.ndarray,
+                             domain_starts: Sequence[int],
+                             method: str = "ks",
+                             use_local: bool = True,
+                             min_dom_sz: int = 5,
+                             normalization_mat: Optional[np.ndarray] = None,
+                             return_pval: bool = True):
+    """Per-boundary separation statistics between adjacent domains
+    (reference domain_neighboring_stats,
+    domain_tools/distance.py:382-443).  With `use_local`, each side is
+    clipped to at most twice the other domain's size around the shared
+    boundary so long domains don't wash out the local signal."""
+    starts = np.sort(np.asarray(domain_starts, int))
+    coords = np.asarray(coordinates, np.float64)
+    ends = np.concatenate([starts[1:], [len(coords)]])
+    stats, pvals = [], []
+    for i in range(len(starts) - 1):
+        s1, e1 = int(starts[i]), int(ends[i])
+        s2, e2 = int(starts[i + 1]), int(ends[i + 1])
+        if use_local:
+            ns1 = max(s1, e1 - 2 * max(e2 - s2, min_dom_sz))
+            ne2 = min(e2, s2 + 2 * max(e1 - s1, min_dom_sz))
+            s1, e2 = ns1, ne2
+        res = domain_stat(coords, (s1, e1), (s2, e2), method=method,
+                          normalization_mat=normalization_mat,
+                          return_pval=return_pval)
+        if return_pval:
+            stats.append(res[0])
+            pvals.append(res[1])
+        else:
+            stats.append(res)
+    if return_pval:
+        return np.asarray(stats), np.asarray(pvals)
+    return np.asarray(stats)

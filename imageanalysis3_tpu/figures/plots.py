@@ -186,3 +186,30 @@ def plot_cell_spot_counts(cell_spot_counts: np.ndarray, ax=None,
     if save_path:
         ax.figure.savefig(save_path, transparent=True)
     return ax
+
+
+def plot_boundary_probability(region_ids: Sequence[int],
+                              domain_start_lists: Sequence[Sequence[int]],
+                              ax=None, figure_dpi: int = 150,
+                              save_path: Optional[str] = None):
+    """Per-region probability of being a domain boundary across cells
+    (reference plot_boundary_probability, figure_tools/domain.py:30-55):
+    count how many cells call each region id a domain start (start 0 is
+    the trivial boundary and is skipped), normalized by cell count."""
+    x = np.asarray(region_ids, int)
+    y = np.zeros(len(x), float)
+    for starts in domain_start_lists:
+        for s in starts:
+            if s > 0:
+                y[x == int(s)] += 1
+    y = y / max(len(domain_start_lists), 1)
+    if ax is None:
+        _, ax = plt.subplots(figsize=(10, 3), dpi=figure_dpi)
+    ax.plot(x, y, color="tab:blue", label="probability")
+    ax.set_xlim(x.min(), x.max())
+    ax.set_xlabel("region id")
+    ax.set_ylabel("boundary probability")
+    ax.legend()
+    if save_path:
+        ax.figure.savefig(save_path, transparent=True)
+    return ax

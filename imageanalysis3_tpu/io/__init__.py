@@ -19,6 +19,7 @@ from .microscope import (read_microscope_json, microscope_correct_image,
 from .spots import (spots_to_dataframe, dataframe_to_cand_spots,
                     spot_groups_to_dataframe, dataframe_to_spot_groups,
                     save_dataframe_hdf5, load_dataframe_hdf5,
+                    spaligner_to_chr_homologs,
                     SPOT3D_COLUMNS)
 
 __all__ = [
@@ -40,4 +41,5 @@ __all__ = [
     "spots_to_dataframe", "dataframe_to_cand_spots",
     "spot_groups_to_dataframe", "dataframe_to_spot_groups",
     "save_dataframe_hdf5", "load_dataframe_hdf5", "SPOT3D_COLUMNS",
+    "spaligner_to_chr_homologs",
 ]

@@ -171,3 +171,44 @@ def load_dataframe_hdf5(path: str, key: str) -> pd.DataFrame:
                 v = v.astype(str)
             data[c] = v
     return pd.DataFrame(data)
+
+
+def spaligner_to_chr_homologs(cell_data_df: pd.DataFrame,
+                              codebook_df: pd.DataFrame,
+                              info_names=("fov_id", "cell_id", "uid"),
+                              fill_blank: bool = True):
+    """Convert an spAligner-style per-cell DataFrame into chr -> list of
+    homolog traces (reference spAligner_2_chr2homologList,
+    io_tools/aligner.py:3-39).
+
+    `cell_data_df` carries one row per fitted locus with columns
+    ``chr`` (may be 'chr1' or '1'), ``fiberidx`` (homolog index), ``hyb``
+    (within-chromosome region order) and ``z_um/x_um/y_um``.  With
+    ``fill_blank``, each homolog becomes a dense (R_chr, 3) trace with
+    NaN rows for unobserved regions, sized from the codebook.
+    Returns (chr_2_homolog_list, info_dict) where info_dict collects the
+    unique value of each requested metadata column.
+    """
+    chr_2_homologs = {}
+    cb_chr = codebook_df["chr"].astype(str)
+    for chr_name in np.unique(cell_data_df["chr"].astype(str)):
+        chrom = chr_name.split("chr")[1] if "chr" in chr_name else chr_name
+        n_regions = int(np.sum(cb_chr == chrom))
+        sub = cell_data_df[cell_data_df["chr"].astype(str) == chr_name]
+        homologs = []
+        for fbr in np.unique(sub["fiberidx"]):
+            fiber = sub[sub["fiberidx"] == fbr].sort_values("hyb")
+            inds = fiber["hyb"].to_numpy(int)
+            coords = fiber[["z_um", "x_um", "y_um"]].to_numpy(float)
+            if fill_blank:
+                full = np.full((n_regions, 3), np.nan)
+                full[inds] = coords
+                homologs.append(full)
+            else:
+                homologs.append(coords)
+        chr_2_homologs[chrom] = homologs
+    info = {}
+    for name in info_names:
+        if name in cell_data_df.columns:
+            info[name] = np.unique(cell_data_df[name])[0]
+    return chr_2_homologs, info
