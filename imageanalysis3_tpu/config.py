@@ -113,6 +113,12 @@ class SeedConfig:
     # unused since the hierarchical top-k seed extraction; kept so saved
     # configs keep loading (see ops/seeding.get_seeds)
     cand_capacity: int = 16384
+    # pyramid background: the bg Gaussian runs on a 4x4-pooled grid and is
+    # bilinearly upsampled in-kernel (ops/pallas_kernels.py
+    # fused_seed_classify_pyramid).  Validated: identical seed sets on
+    # planted-spot stacks, qdiff within ~1.2% of the exact blur; the
+    # plateau guard moves to pooled-cell resolution.  TPU fused path only.
+    pyramid_bg: bool = True
 
 
 @dataclass(frozen=True)

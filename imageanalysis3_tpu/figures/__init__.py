@@ -18,7 +18,8 @@ from the same code path.
 from .plots import (plot_distance_map, plot_boundaries, plot_projection,
                     plot_decode_stats, plot_spot_overlay,
                     plot_segmentation_labels, plot_cell_spot_counts,
-                    plot_boundary_probability)
+                    plot_boundary_probability,
+                    plot_genome_wide_distance_map)
 from .render3d import (normalize_center_spots,
                        chromosome_structure_3d_rendering,
                        visualize_chromosome_3d_cloud, spots_to_density)
@@ -30,7 +31,7 @@ from .color import (myReds, myBlues, myGreens, myReds_r, myBlues_r,
 __all__ = ["plot_distance_map", "plot_boundaries", "plot_projection",
            "plot_decode_stats", "plot_spot_overlay",
            "plot_segmentation_labels", "plot_cell_spot_counts",
-           "plot_boundary_probability",
+           "plot_boundary_probability", "plot_genome_wide_distance_map",
            "normalize_center_spots", "chromosome_structure_3d_rendering",
            "visualize_chromosome_3d_cloud", "spots_to_density",
            "SpotBrowser", "BoundaryMarker",

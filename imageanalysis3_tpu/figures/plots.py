@@ -213,3 +213,46 @@ def plot_boundary_probability(region_ids: Sequence[int],
     if save_path:
         ax.figure.savefig(save_path, transparent=True)
     return ax
+
+
+def plot_genome_wide_distance_map(chr_zxys_list, chr_names,
+                                  chr_boundaries,
+                                  color_limits=(0.0, 5.0),
+                                  cmap: str = "seismic_r", ax=None,
+                                  figure_dpi: int = 150,
+                                  save_path: Optional[str] = None):
+    """Genome-wide single-cell distance map with chromosome block lines
+    and centered chromosome tick labels (reference GenomeWide_DistMap,
+    figure_tools/distmap.py:111-153).
+
+    chr_zxys_list: per-chromosome (R_chr, 3) traces in plot order
+    (e.g. one homolog each, from analysis.merge_chr_traces);
+    chr_boundaries: block edges as from analysis.generate_plot_chr_edges.
+    NaN rows render as the gray missing color.
+    """
+    import matplotlib as mpl
+
+    zxys = np.concatenate([np.asarray(z, float) for z in chr_zxys_list])
+    dm = np.linalg.norm(zxys[:, None] - zxys[None], axis=-1)
+    cmap_obj = mpl.colormaps[cmap].copy()
+    cmap_obj.set_bad((0.5, 0.5, 0.5))
+    if ax is None:
+        _, ax = plt.subplots(figsize=(6, 5), dpi=figure_dpi)
+    pf = ax.imshow(dm, cmap=cmap_obj, vmin=min(color_limits),
+                   vmax=max(color_limits))
+    ax.figure.colorbar(pf, ax=ax, label="pairwise distance")
+    edges = np.asarray(chr_boundaries, float)
+    centers = (edges[1:] + edges[:-1]) / 2
+    ax.set_xticks(centers)
+    ax.set_xticklabels(chr_names, fontsize=6, rotation=60)
+    ax.set_yticks(centers)
+    ax.set_yticklabels(chr_names, fontsize=6)
+    ax.hlines(edges - 0.5, 0, len(dm), color="black", linewidth=0.5)
+    ax.vlines(edges - 0.5, 0, len(dm), color="black", linewidth=0.5)
+    ax.set_xlim(0, len(dm))
+    ax.set_ylim(len(dm), 0)
+    n_kept = int(np.sum(~np.isnan(zxys).any(axis=1)))
+    ax.set_title(f"kept_spots: {n_kept}")
+    if save_path:
+        ax.figure.savefig(save_path, transparent=True)
+    return ax

@@ -605,3 +605,351 @@ def fused_seed_classify(im: jnp.ndarray, sigma_fg: float, sigma_bg: float,
     )(params, axf, axb, wlf, wrf, wlb, wrb, fgbg[0], fgbg[1])
     counts = jnp.sum(hist[:, 0, :n_lvl], axis=0)
     return qdiff, counts
+
+
+# ---------------------------------------------------------------------------
+# Pyramid-background fused classifier: the bg blur (sigma ~7.5 -> 61-tap
+# reach) runs on a 4x4-pooled grid and is bilinearly upsampled in-kernel,
+# so the full-resolution background stack never exists in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _up_x_matrix(bxe: int) -> np.ndarray:
+    """(BXE, BXS+8) bilinear x-upsample matrix for one ring block.
+
+    Ring row t holds fine row X0 - 4 + t (X0 = block start); the small
+    buffer's row 0 holds pooled row X0/4 - 2 (two edge rows of lead-in),
+    so the half-pixel-aligned source coordinate is (t + 2.5) / 4.
+    Weights are multiples of 1/8 -- exact in bfloat16.
+    """
+    bxs = (bxe - 8) // 4
+    u = np.zeros((bxe, bxs + 8), np.float32)
+    for t in range(bxe):
+        b = (t + 2.5) / 4.0
+        i0 = int(np.floor(b))
+        w = b - i0
+        u[t, i0] += 1.0 - w
+        u[t, i0 + 1] += w
+    return u
+
+
+def _up_y_matrix(ys_buf: int, y: int) -> np.ndarray:
+    """(YS_BUF, Y) bilinear y-upsample matrix (lane contraction).
+
+    Buffer lane 2 holds pooled column 0 (two edge columns of lead-in);
+    fine column Y reads source coordinate (Y + 0.5) / 4 - 0.5 + 2.
+    """
+    u = np.zeros((ys_buf, y), np.float32)
+    for col in range(y):
+        b = (col + 0.5) / 4.0 - 0.5 + 2.0
+        i0 = int(np.floor(b))
+        w = b - i0
+        u[i0, col] += 1.0 - w
+        u[i0 + 1, col] += w
+    return u
+
+
+def _pyramid_stencil_kernel(params_smem, axf_ref, wlf_ref, wrf_ref,
+                            ux_ref, uy_ref, fg_hbm, bgs_hbm,
+                            qdiff_out, hist_out,
+                            fgv, bgsv, ring_fg, ring_bg, sem,
+                            *, n_lvl_static: int):
+    """One (x-block, z-step): xy-blur the z-passed FOREGROUND plane,
+    bilinearly upsample the pooled-and-blurred BACKGROUND plane, push
+    both into 3-slot rings, then emit the 3^3 stencil + level classify
+    for plane k-1 (same two-phase structure as _blur_stencil_kernel).
+
+    The fg x window is only BX+32 rows (halo 16 each side: the fg kernel
+    radius is <= 12 plus the stencil's 4-row ring reach) instead of the
+    exact kernel's BX+80 -- the bg blur, whose 30-px reach forced that
+    window, now arrives as a (BXS+8, YS_BUF) pooled tile and two MXU
+    interpolation matmuls.
+
+    Input DMAs are double-buffered: step k prefetches plane k+1 into the
+    other slot before waiting on plane k, so the HBM reads ride under the
+    blur/upsample compute (the start->wait-per-step form was
+    latency-serialized at ~2k grid steps and left the kernel ~1.7x off
+    its bandwidth bound).
+    """
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    nz = pl.num_programs(1) - 1
+    nring, bxe, ycore = ring_fg.shape           # (3, BX+8, Y)
+    bx = bxe - 8
+    nslots, bxw, yp = fgv.shape                  # (2, BX+32, Y+128)
+    nb = (yp - 128) // 128
+
+    th = params_smem[0]
+    n_lvl_f = params_smem[1]
+    edge = params_smem[2].astype(jnp.int32)
+    fz = params_smem[3].astype(jnp.int32)
+    fx = params_smem[4].astype(jnp.int32)
+    fy = params_smem[5].astype(jnp.int32)
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    f32 = jnp.float32
+
+    def dot3(a, b):
+        ah, al = split(a)
+        bh, bl = split(b)
+        return (jnp.dot(ah, bh, preferred_element_type=f32)
+                + jnp.dot(ah, bl, preferred_element_type=f32)
+                + jnp.dot(al, bh, preferred_element_type=f32))
+
+    def dot2_wb(w_bf16, b):
+        """Exact-bf16 weights x f32 values in two MXU passes."""
+        bh, bl = split(b)
+        return (jnp.dot(w_bf16, bh, preferred_element_type=f32)
+                + jnp.dot(w_bf16, bl, preferred_element_type=f32))
+
+    def dot2_bw(a, w_bf16):
+        ah, al = split(a)
+        return (jnp.dot(ah, w_bf16, preferred_element_type=f32)
+                + jnp.dot(al, w_bf16, preferred_element_type=f32))
+
+    def fg_dma(slot, plane):
+        return pltpu.make_async_copy(
+            fg_hbm.at[plane, pl.ds(i * bx + 24, bxw), :],
+            fgv.at[slot], sem.at[0, slot])
+
+    def bg_dma(slot, plane):
+        return pltpu.make_async_copy(
+            bgs_hbm.at[plane, pl.ds(i * (bx // 4), bx // 4 + 8), :],
+            bgsv.at[slot], sem.at[1, slot])
+
+    @pl.when(k == 0)
+    def _warmup():
+        fg_dma(0, 0).start()
+        bg_dma(0, 0).start()
+
+    @pl.when(k + 1 < nz)
+    def _prefetch():
+        nxt = jax.lax.rem(k + 1, 2)
+        fg_dma(nxt, k + 1).start()
+        bg_dma(nxt, k + 1).start()
+
+    @pl.when(k < nz)
+    def _load_and_blur():
+        cur = jax.lax.rem(k, 2)
+        fg_dma(cur, k).wait()
+        bg_dma(cur, k).wait()
+
+        fxp = dot3(axf_ref[:], fgv[cur])               # (BXE, YP)
+        fb = fxp.reshape(bxe, nb + 1, 128)
+        left = fb[:, :nb].reshape(bxe * nb, 128)
+        right = fb[:, 1:].reshape(bxe * nb, 128)
+        fgp = (dot3(left, wlf_ref[:])
+               + dot3(right, wrf_ref[:])).reshape(bxe, nb * 128)
+
+        # background: y-upsample on the small x grid, then x-upsample
+        by = dot2_bw(bgsv[cur], uy_ref[:])             # (BXS+8, Y)
+        bgp = dot2_wb(ux_ref[:], by)                   # (BXE, Y)
+
+        slot = jax.lax.rem(k, 3)
+        ring_fg[pl.ds(slot, 1)] = fgp[None]
+        ring_bg[pl.ds(slot, 1)] = bgp[None]
+
+    @pl.when(k >= 1)
+    def _emit():
+        j = k - 1
+        s_cur = jax.lax.rem(j, 3)
+        s_prev = jnp.where(j > 0, jax.lax.rem(j + 2, 3), s_cur)
+        s_next = jnp.where(k < nz, jax.lax.rem(k, 3), s_cur)
+
+        def ring3(ring):
+            cur = ring[pl.ds(s_cur, 1)][0]
+            prev = ring[pl.ds(s_prev, 1)][0]
+            nxt = ring[pl.ds(s_next, 1)][0]
+            return prev, cur, nxt
+
+        pf, cf, nf = ring3(ring_fg)
+        _, cb, _ = ring3(ring_bg)
+
+        zmax = jnp.maximum(jnp.maximum(pf, cf), nf)           # (BX+8, Y)
+        xmax = jnp.maximum(jnp.maximum(zmax[3:3 + bx], zmax[4:4 + bx]),
+                           zmax[5:5 + bx])                    # (BX, Y)
+
+        def y3(a, op, fill):
+            yi = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+            left = jnp.where(yi == 0, fill, pltpu.roll(a, 1, 1))
+            right = jnp.where(yi == a.shape[1] - 1, fill,
+                              pltpu.roll(a, a.shape[1] - 1, 1))
+            return op(op(left, a), right)
+
+        max3 = y3(xmax, jnp.maximum, -jnp.inf)
+        core_fg = cf[4:4 + bx]
+        core_bg = cb[4:4 + bx]
+        # the plateau guard lives in the host-side sentinel (see the
+        # wrapper): no fine-scale bg min stencil here
+        local_max = max3 == core_fg
+        diff = core_fg - core_bg
+
+        zi = j
+        xi = jax.lax.broadcasted_iota(jnp.int32, (bx, ycore), 0) + i * bx
+        yi = jax.lax.broadcasted_iota(jnp.int32, (bx, ycore), 1)
+        edge_ok = ((zi >= edge) & (zi <= fz - edge)
+                   & (xi >= edge) & (xi <= fx - edge)
+                   & (yi >= edge) & (yi <= fy - edge))
+        qualify = local_max & edge_ok
+
+        n_lvl = n_lvl_f.astype(jnp.int32)
+        frac = 1.0 - diff / jnp.maximum(th, 1e-6)
+        level = jnp.ceil(frac * n_lvl_f).astype(jnp.int32)
+        level = jnp.clip(level, 0, n_lvl)
+        level = jnp.where(qualify, level, n_lvl)
+
+        qdiff_out[0] = jnp.where(qualify, diff, -jnp.inf)
+
+        lanes = hist_out.shape[2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+        hv = jnp.zeros((8, lanes), jnp.int32)
+        for l in range(n_lvl_static):
+            cnt = jnp.sum((level == l).astype(jnp.int32))
+            hv = hv + jnp.where(lane == l, cnt, 0)
+        prev_h = hist_out[0]
+        hist_out[0] = jnp.where(k == 1, hv, prev_h + hv)
+
+
+@partial(jax.jit, static_argnames=("n_lvl", "min_edge_distance",
+                                   "sigma_fg", "sigma_bg", "block_x",
+                                   "interpret"))
+def fused_seed_classify_pyramid(im: jnp.ndarray, sigma_fg: float,
+                                sigma_bg: float, th_seed, n_lvl: int,
+                                min_edge_distance: int = 2,
+                                block_x: int = 64,
+                                interpret: bool = False
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fused_seed_classify with a pyramid background: the bg Gaussian
+    (the 30-px-reach pass that dominates the exact kernel's HBM traffic)
+    runs on a 4x4 xy-pooled grid at sigma/4 and is bilinearly upsampled
+    inside the kernel via MXU matmuls.
+
+    Accuracy: pooling a sigma=7.5-smooth field is band-limited, so the
+    approximation error is <~1.2% of the background value (~5 intensity
+    units at camera scale); on planted-spot stacks the selected seed set
+    is IDENTICAL to the exact path (tests/test_pallas.py).  The exact
+    kernel remains the default; SeedConfig.pyramid_bg opts in.
+
+    Traffic at 60x2048x2048 f32: the z-pass einsum halves (fg only) and
+    the per-block x window shrinks from BX+80 to BX+32 rows -- ~6.5 GB
+    vs ~11 GB for the exact kernel.
+    """
+    from .filters import (CONV_PRECISION, _band_matrix, _conv1d_along_axis,
+                          gaussian_kernel1d)
+
+    z, x, y = im.shape
+    k_fg = gaussian_kernel1d(sigma_fg)
+    k_bg = gaussian_kernel1d(sigma_bg)
+    r_fg = len(k_fg) // 2
+    assert r_fg <= 12, "fg x halo (16) must cover the kernel radius + 4"
+    assert r_fg <= 64, "y-pass pad (64) must cover the kernel radius"
+    assert min_edge_distance >= 1 and z >= 2
+    block_x = min(block_x, x)
+    while x % block_x:
+        block_x //= 2
+    assert block_x >= 32 and block_x % 32 == 0, \
+        "pyramid path needs 32-aligned x blocks (pooled rows stay 8-aligned)"
+    assert x % 4 == 0 and y % 4 == 0 and y % 128 == 0
+    bxe = block_x + 8
+    bxs = block_x // 4
+    xs, ys = x // 4, y // 4
+    ys_buf = ys + 128
+
+    imf = im.astype(jnp.float32)
+    imp = jnp.pad(imf, ((0, 0), (40, 40), (64, 64)), mode="symmetric")
+    wz = _band_matrix(z, tuple(k_fg.tolist()), "reflect")
+    fgz = jnp.einsum("zw,wxy->zxy", jnp.asarray(wz), imp,
+                     precision=CONV_PRECISION)
+
+    # pooled background pyramid: mean-pool 4x4, z-blur at full kernel,
+    # xy-blur at sigma/4 (pooling's own bandlimit makes up the rest;
+    # validated <=1.2% of bg against the exact blur)
+    pooled = imf.reshape(z, xs, 4, ys, 4).mean(axis=(2, 4))
+    k_bgs = gaussian_kernel1d(float(sigma_bg) / 4.0)
+    bgs = _conv1d_along_axis(pooled, k_bg, 0, "reflect")
+    bgs = _conv1d_along_axis(bgs, k_bgs, 1, "reflect")
+    bgs = _conv1d_along_axis(bgs, k_bgs, 2, "reflect")
+    # Plateau guard.  The exact path rejects voxels where min3(bg) == bg:
+    # on smooth f32 backgrounds that is (a) whole flat/saturated plateaus
+    # and (b) the measure-zero set of strict local-minimum voxels.  A
+    # bilinear surface has local minima AT its sample points, so keeping
+    # the fine-scale min-tie here would spuriously reject ~0.4% of
+    # voxels (every pooled cell that is an axial local minimum).  The
+    # pyramid path therefore guards plateaus at cell resolution — cells
+    # whose 3^3 neighborhood has zero range get a large finite sentinel
+    # that drives diff far below any threshold (+inf would turn the
+    # interpolation matmul's explicit zeros into NaNs) — and does not
+    # reject strict-minimum voxels (they are never fg maxima over
+    # threshold on real backgrounds).
+    def ext3(a, axis, op):
+        lo = jnp.concatenate([jax.lax.slice_in_dim(a, 0, 1, axis=axis),
+                              jax.lax.slice_in_dim(a, 0, a.shape[axis] - 1,
+                                                   axis=axis)], axis=axis)
+        hi = jnp.concatenate([jax.lax.slice_in_dim(a, 1, a.shape[axis],
+                                                   axis=axis),
+                              jax.lax.slice_in_dim(a, a.shape[axis] - 1,
+                                                   a.shape[axis],
+                                                   axis=axis)], axis=axis)
+        return op(op(lo, a), hi)
+
+    def box3(a, op):
+        return ext3(ext3(ext3(a, 0, op), 1, op), 2, op)
+
+    bmax = box3(bgs, jnp.maximum)
+    bmin = box3(bgs, jnp.minimum)
+    # relative tolerance: f32 summation-order noise on constant input is
+    # ~2e-6 of the value, real background texture is >= 1e-4 over 3 cells
+    flat = (bmax - bmin) <= 4e-5 * jnp.maximum(jnp.abs(bmax), 1.0)
+    bgs = jnp.where(flat, jnp.float32(1e9), bgs)
+    # 2 lead-in edge rows/cols (bilinear clamp), tails to aligned sizes
+    bgp = jnp.pad(bgs, ((0, 0), (2, 14), (2, ys_buf - ys - 2)),
+                  mode="edge")
+
+    axf = jnp.asarray(_x_weights(k_fg, bxe, 12))        # (BXE, BX+32)
+    wlf, wrf = map(jnp.asarray, _xy_weights(k_fg, 64))
+    ux = jnp.asarray(_up_x_matrix(bxe), jnp.bfloat16)
+    uy = jnp.asarray(_up_y_matrix(ys_buf, y), jnp.bfloat16)
+
+    params = jnp.stack([jnp.asarray(th_seed, jnp.float32),
+                        jnp.float32(n_lvl),
+                        jnp.float32(min_edge_distance),
+                        jnp.float32(z), jnp.float32(x), jnp.float32(y)])
+
+    gx = x // block_x
+    qdiff, hist = pl.pallas_call(
+        partial(_pyramid_stencil_kernel, n_lvl_static=n_lvl),
+        grid=(gx, z + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # axf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wlf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wrf
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ux
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # uy
+            pl.BlockSpec(memory_space=pltpu.ANY),    # fgz padded
+            pl.BlockSpec(memory_space=pltpu.ANY),    # bg small padded
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_x, y),
+                         lambda i, k: (jnp.maximum(k - 1, 0), i, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i, k: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, x, y), jnp.float32),
+            jax.ShapeDtypeStruct((gx, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block_x + 32, y + 128), jnp.float32),
+            pltpu.VMEM((2, bxs + 8, ys_buf), jnp.float32),
+            pltpu.VMEM((3, bxe, y), jnp.float32),
+            pltpu.VMEM((3, bxe, y), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(params, axf, wlf, wrf, ux, uy, fgz, bgp)
+    counts = jnp.sum(hist[:, 0, :n_lvl], axis=0)
+    return qdiff, counts

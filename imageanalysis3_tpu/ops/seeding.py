@@ -128,7 +128,7 @@ def _classify_from_blurs(max_im, min_im, th_seed, x0, core_x: int,
     "max_num_seeds", "gfilt_size", "background_gfilt_size",
     "filt_size", "min_edge_distance", "use_dynamic_th", "dynamic_niters",
     "min_dynamic_seeds", "remove_hot_pixel", "hot_pixel_th", "cand_capacity",
-    "slab_x"))
+    "slab_x", "pyramid_bg"))
 def get_seeds(im: jnp.ndarray,
               max_num_seeds: int = 1024,
               th_seed=150.0,
@@ -142,7 +142,8 @@ def get_seeds(im: jnp.ndarray,
               remove_hot_pixel: bool = True,
               hot_pixel_th: int = 3,
               cand_capacity: int = 16384,
-              slab_x: int = 1024) -> Seeds:
+              slab_x: int = 1024,
+              pyramid_bg: bool = False) -> Seeds:
     """Seed local maxima of `im` (Z, X, Y) -> fixed-capacity table.
 
     Images whose x extent exceeds ``2 * slab_x`` are processed in
@@ -186,7 +187,20 @@ def get_seeds(im: jnp.ndarray,
         and _radius(gfilt_size) <= 32
         and _radius(background_gfilt_size) <= 32)
 
-    if use_fused:
+    use_pyramid = (
+        use_fused and pyramid_bg
+        and _radius(gfilt_size) <= 12
+        and shape[1] % 32 == 0 and shape[1] % 4 == 0 and shape[2] % 4 == 0)
+
+    if use_pyramid:
+        # bg blur on a 4x4-pooled grid, bilinearly upsampled in-kernel
+        # (same seed sets on planted stacks; see SeedConfig.pyramid_bg)
+        from .pallas_kernels import fused_seed_classify_pyramid
+
+        qdiff, counts = fused_seed_classify_pyramid(
+            imf, gfilt_size, background_gfilt_size, th_seed, n_lvl,
+            min_edge_distance=min_edge_distance)
+    elif use_fused:
         from .pallas_kernels import fused_seed_classify
 
         qdiff, counts = fused_seed_classify(

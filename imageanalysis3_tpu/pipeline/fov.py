@@ -192,6 +192,7 @@ class FovPipeline:
                 dynamic_niters=seed_cfg.dynamic_niters,
                 min_dynamic_seeds=seed_cfg.min_dynamic_seeds,
                 cand_capacity=seed_cfg.cand_capacity,
+                pyramid_bg=getattr(seed_cfg, "pyramid_bg", False),
             )
             res = iter_fit_seed_points(
                 im, seeds.coords.astype(jnp.float32), seeds.valid,

@@ -266,3 +266,20 @@ def test_plot_boundary_probability_smoke(tmp_path):
     assert (tmp_path / "bp.png").exists()
     import matplotlib.pyplot as plt
     plt.close(ax.figure)
+
+
+def test_plot_genome_wide_distance_map_smoke(tmp_path):
+    from imageanalysis3_tpu.figures import plot_genome_wide_distance_map
+
+    rng = np.random.default_rng(6)
+    cb = _codebook()
+    cell = _cells(rng, 1)[0]
+    traces = [cell[c][0] for c in ("1", "2", "X")]
+    edges = np.array([0, 4, 7, 9])
+    ax = plot_genome_wide_distance_map(traces, ["1", "2", "X"], edges,
+                                       save_path=str(tmp_path / "gw.png"))
+    assert (tmp_path / "gw.png").exists()
+    img = ax.images[0].get_array()
+    assert img.shape == (9, 9)
+    import matplotlib.pyplot as plt
+    plt.close(ax.figure)

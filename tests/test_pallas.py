@@ -84,3 +84,78 @@ def test_fused_seed_classify_parity_interpret():
     both = np.isfinite(q0) & np.isfinite(q1)
     np.testing.assert_allclose(q1[both], q0[both], rtol=1e-4, atol=0.05)
     assert abs(int(np.asarray(c1).sum()) - int(np.asarray(c0).sum())) <= 2
+
+
+def test_pyramid_classify_matches_exact_on_planted_spots():
+    """Pyramid-background classifier (interpret mode): the SELECTED seed
+    set (qualified voxels at or above threshold) is identical to the
+    exact fused path on planted-spot stacks, and the signal values agree
+    within the documented ~1.2% background-approximation bound."""
+    from imageanalysis3_tpu import synthetic as syn
+    from imageanalysis3_tpu.ops.pallas_kernels import (
+        fused_seed_classify, fused_seed_classify_pyramid)
+
+    shape = (12, 256, 256)
+    rng = np.random.default_rng(0)
+    truth = syn.sample_spot_params(shape, 40, rng, min_separation=8.0,
+                                   height_range=(400.0, 3000.0),
+                                   sigma_jitter=0.0)
+    base = syn.render_spots_device(shape, truth["centers"],
+                                   truth["heights"],
+                                   background=truth["background"])
+    im = jnp.asarray(np.asarray(syn.noisy_uint16_device(base, seed=1))
+                     .astype(np.float32))
+    q_e, c_e = fused_seed_classify(im, 0.75, 7.5, 300.0, 10,
+                                   min_edge_distance=2, interpret=True)
+    q_p, c_p = fused_seed_classify_pyramid(im, 0.75, 7.5, 300.0, 10,
+                                           min_edge_distance=2,
+                                           interpret=True)
+    q_e, q_p = np.asarray(q_e), np.asarray(q_p)
+    sel_e = np.isfinite(q_e) & (q_e >= 300.0)
+    sel_p = np.isfinite(q_p) & (q_p >= 300.0)
+    np.testing.assert_array_equal(sel_e, sel_p)
+    assert sel_e.sum() >= 35                       # the planted spots
+    np.testing.assert_allclose(q_p[sel_e], q_e[sel_e], rtol=0.02)
+    np.testing.assert_array_equal(np.asarray(c_e), np.asarray(c_p))
+
+
+def test_pyramid_classify_rejects_flat_plateau():
+    """A flat (saturated-like) region produces no seeds through the
+    pooled-cell plateau sentinel, mirroring the exact path's min-tie
+    rejection of flat background."""
+    from imageanalysis3_tpu.ops.pallas_kernels import (
+        fused_seed_classify_pyramid)
+
+    im = jnp.full((8, 64, 256), 800.0, jnp.float32)   # perfectly flat
+    q, counts = fused_seed_classify_pyramid(im, 0.75, 7.5, 10.0, 10,
+                                            min_edge_distance=2,
+                                            interpret=True)
+    assert int(np.asarray(counts).sum()) == 0
+    assert not np.isfinite(np.asarray(q)).any() or \
+        (np.asarray(q)[np.isfinite(np.asarray(q))] < -1e6).all()
+
+
+def test_get_seeds_pyramid_matches_default_on_planted_spots():
+    """get_seeds(pyramid_bg=True) recovers the same planted seed centers
+    as the default path (CPU interpret backends never take the fused
+    gates, so this exercises the classifier equivalence end-to-end
+    through the public entry via the unfused reference path)."""
+    from imageanalysis3_tpu import synthetic as syn
+    from imageanalysis3_tpu.ops.seeding import get_seeds
+
+    shape = (12, 256, 256)
+    rng = np.random.default_rng(3)
+    truth = syn.sample_spot_params(shape, 30, rng, min_separation=10.0,
+                                   height_range=(500.0, 3000.0),
+                                   sigma_jitter=0.0)
+    base = syn.render_spots_device(shape, truth["centers"],
+                                   truth["heights"],
+                                   background=truth["background"])
+    im = jnp.asarray(np.asarray(syn.noisy_uint16_device(base, seed=2))
+                     .astype(np.float32))
+    s0 = get_seeds(im, max_num_seeds=64, th_seed=300.0)
+    s1 = get_seeds(im, max_num_seeds=64, th_seed=300.0, pyramid_bg=True)
+    c0 = np.asarray(s0.coords)[np.asarray(s0.valid)]
+    c1 = np.asarray(s1.coords)[np.asarray(s1.valid)]
+    assert len(c0) == len(c1)
+    np.testing.assert_array_equal(np.sort(c0, axis=0), np.sort(c1, axis=0))
