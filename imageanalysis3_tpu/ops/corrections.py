@@ -57,15 +57,19 @@ def remove_hot_pixels(im: jnp.ndarray, hot_pix_th: float = 0.5,
     return jnp.where(hot2d[None], neigh, imf)
 
 
-@jax.jit
-def z_shift_correct(im: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("median_subsample",))
+def z_shift_correct(im: jnp.ndarray,
+                    median_subsample: int = 1) -> jnp.ndarray:
     """Per-z-layer median normalization, rescaled to the global median.
 
     out = im / median(im, axis=(x,y)) * median(im).
     Behavior target: corrections.py:479-487 (Z_Shift_Correction).
+    ``median_subsample`` passes through to the counting median (see
+    filters.counting_median_layers_and_global; 1 = exact).
     """
     imf = im.astype(jnp.float32)
-    layer_med, global_med = counting_median_layers_and_global(imf)
+    layer_med, global_med = counting_median_layers_and_global(
+        imf, subsample=median_subsample)
     return imf / layer_med[:, None, None] * global_med
 
 
@@ -100,7 +104,8 @@ def bleedthrough_unmix(ims: jnp.ndarray, profile: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=(
     "hot_pixel", "hot_pixel_th", "hot_pixel_ratio", "z_shift",
     "do_bleedthrough", "do_illumination", "do_highpass",
-    "highpass_sigma", "highpass_truncate", "clip", "clip_min", "clip_max"))
+    "highpass_sigma", "highpass_truncate", "clip", "clip_min", "clip_max",
+    "median_subsample"))
 def correct_channel_stack(
     ims: jnp.ndarray,
     bleed_profile: Optional[jnp.ndarray] = None,
@@ -118,6 +123,7 @@ def correct_channel_stack(
     clip: bool = True,
     clip_min: float = 0.0,
     clip_max: float = 65535.0,
+    median_subsample: int = 1,
 ) -> jnp.ndarray:
     """One fused pass over a `(C, Z, X, Y)` multi-channel stack.
 
@@ -131,7 +137,8 @@ def correct_channel_stack(
         out = jax.vmap(lambda im: remove_hot_pixels(
             im, hot_pix_th=hot_pixel_th, hot_th=hot_pixel_ratio))(out)
     if z_shift:
-        out = jax.vmap(z_shift_correct)(out)
+        out = jax.vmap(partial(z_shift_correct,
+                               median_subsample=median_subsample))(out)
     if do_bleedthrough and bleed_profile is not None:
         out = bleedthrough_unmix(out, bleed_profile)
         if clip:

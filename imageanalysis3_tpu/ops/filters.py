@@ -355,18 +355,29 @@ def counting_median(im: jnp.ndarray, bits: int = 18,
     return lo.astype(jnp.float32) / scale
 
 
-@partial(jax.jit, static_argnames=("bits",))
-def counting_median_layers_and_global(im: jnp.ndarray, bits: int = 18):
+@partial(jax.jit, static_argnames=("bits", "subsample"))
+def counting_median_layers_and_global(im: jnp.ndarray, bits: int = 18,
+                                      subsample: int = 1):
     """(per-z-layer medians, global median) in ONE binary search.
 
     The two searches of :func:`counting_median` each re-read the image 18
     times; running both in one loop body lets XLA fuse the comparisons
     into a single traversal per iteration — halving the z-shift
     correction's HBM traffic.  Exactness identical to counting_median.
+
+    ``subsample`` > 1 searches a regular (s x s)-strided xy sample
+    instead of every pixel: the ~log2(range) comparison passes then
+    touch 1/s^2 of the stack (the binary search is the correction
+    stage's dominant HBM traffic at full FOV).  The result is the exact
+    median OF THE SAMPLE — for camera layers (>= 260k samples at s=4 on
+    2048^2) that sits within ~1 quarter-code of the full median, a
+    <0.1% normalization shift.  s=1 keeps the exact semantics.
     """
     imf = im.astype(jnp.float32)
+    if subsample > 1:
+        imf = imf[:, ::subsample, ::subsample]
     z = im.shape[0]
-    n_layer = im.shape[1] * im.shape[2]
+    n_layer = imf.shape[1] * imf.shape[2]
     n_all = imf.size
     half_layer = (n_layer + 1) // 2
     half_all = (n_all + 1) // 2

@@ -127,6 +127,7 @@ class FovPipeline:
                 do_highpass=corr.gaussian_highpass,
                 highpass_sigma=corr.highpass_sigma,
                 highpass_truncate=corr.highpass_truncate,
+                median_subsample=getattr(corr, "median_subsample", 1),
                 clip_min=corr.clip_min,
                 clip_max=corr.clip_max,
             )
@@ -269,6 +270,7 @@ class FovPipeline:
             do_highpass=corr.gaussian_highpass,
             highpass_sigma=corr.highpass_sigma,
             highpass_truncate=corr.highpass_truncate,
+            median_subsample=getattr(corr, "median_subsample", 1),
             clip_min=corr.clip_min, clip_max=corr.clip_max)
         return out[self.drift_idx]
 

@@ -93,3 +93,42 @@ def test_fused_pass_recovers_flat_field(rng):
         np.testing.assert_allclose(out[c][:, mask],
                                    np.broadcast_to(clean, (8, 64, 64))[:, mask],
                                    rtol=2e-3, atol=0.5)
+
+
+def test_counting_median_subsample_accuracy():
+    """A 4x4-strided sample's median stays within a quarter-code of the
+    exact per-layer median on camera-like data, and subsample=1 is
+    unchanged-exact."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from imageanalysis3_tpu.ops.filters import (
+        counting_median_layers_and_global)
+
+    rng = np.random.default_rng(0)
+    im = rng.normal(500.0, 40.0, (6, 256, 256)).astype(np.float32)
+    im = np.clip(np.round(im * 4) / 4, 0, 65535)       # quarter-code grid
+    exact_l, exact_g = counting_median_layers_and_global(jnp.asarray(im))
+    np.testing.assert_allclose(np.asarray(exact_l),
+                               np.median(im.reshape(6, -1), axis=1),
+                               atol=0.25)
+    sub_l, sub_g = counting_median_layers_and_global(jnp.asarray(im),
+                                                     subsample=4)
+    np.testing.assert_allclose(np.asarray(sub_l), np.asarray(exact_l),
+                               atol=1.5)               # ~stat error at 4k samples
+    assert abs(float(sub_g) - float(exact_g)) <= 1.5
+
+
+def test_z_shift_subsample_normalization_close():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from imageanalysis3_tpu.ops.corrections import z_shift_correct
+
+    rng = np.random.default_rng(1)
+    im = rng.normal(600.0, 30.0, (4, 128, 128)).astype(np.float32)
+    im[2] *= 1.2                                       # a bright layer
+    out_exact = np.asarray(z_shift_correct(jnp.asarray(im)))
+    out_sub = np.asarray(z_shift_correct(jnp.asarray(im),
+                                         median_subsample=4))
+    np.testing.assert_allclose(out_sub, out_exact, rtol=5e-3)
