@@ -76,11 +76,12 @@ class CorrectionConfig:
     # output clipping range (uint16 semantics, reference io_tools/load.py:363-366)
     clip_min: float = 0.0
     clip_max: float = 65535.0
-    # z-shift median from a regular (s x s)-strided xy sample; the binary
-    # search is the correction stage's dominant HBM traffic and a 260k+
-    # sample's median sits within ~1 quarter-code (<0.1% normalization
-    # shift) of the exact one.  1 = exact (the raw-op default).
-    median_subsample: int = 4
+    # z-shift median from every s-th full x-row (rows stay contiguous in
+    # TPU lanes; a minor-axis stride would cost more than reading all).
+    # The binary search is the correction stage's dominant HBM traffic
+    # and a 260k+ sample's median sits within ~1 quarter-code (<0.1%
+    # normalization shift) of the exact one.  1 = exact (raw-op default).
+    median_subsample: int = 16
 
 
 @dataclass(frozen=True)

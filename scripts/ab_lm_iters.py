@@ -1,0 +1,65 @@
+"""Accuracy + time vs lm_iters for the round-0 LM fit (planted truth)."""
+import time, os
+import jax, jax.numpy as jnp, numpy as np
+
+from imageanalysis3_tpu import synthetic as syn
+from imageanalysis3_tpu.ops import gaussian_fit as gf
+from imageanalysis3_tpu.ops import seeding
+
+SHAPE = (60, 2048, 2048)
+N_SPOTS = 1800
+K = 3
+BASE = int.from_bytes(os.urandom(2), 'big')
+
+rng = np.random.default_rng(0)
+truth = syn.sample_spot_params(SHAPE, N_SPOTS, rng, min_separation=8.0,
+                               height_range=(400.0, 3000.0), sigma_jitter=0.0)
+centers_true = np.asarray(truth["centers"])
+
+
+def stacked(k0):
+    base = syn.render_spots_device(SHAPE, truth["centers"], truth["heights"],
+                                   background=truth["background"])
+    vs = jnp.stack([syn.noisy_uint16_device(base, seed=BASE + k0 + k)
+                    for k in range(K)])
+    return jax.block_until_ready(vs)
+
+
+def per_item(label, fn, tag):
+    f1 = jax.jit(lambda xs: jax.lax.map(fn, xs))
+    vK = stacked(tag * 1000 + 100)
+    np.asarray(f1(vK[:1])); np.asarray(f1(vK))
+    del vK
+    vK2 = stacked(tag * 1000 + 200)
+    t0 = time.perf_counter(); np.asarray(f1(vK2[K - 1:])); t1 = time.perf_counter()
+    t2 = time.perf_counter(); out = np.asarray(f1(vK2)); t3 = time.perf_counter()
+    del vK2
+    per = ((t3 - t2) - (t1 - t0)) / (K - 1)
+    print(f"{label:46s} {1e3 * per:8.2f} ms/item", flush=True)
+    return out
+
+
+print("device:", jax.devices()[0], flush=True)
+
+seeds_ref = None
+
+
+def fit_of(im, lm_iters, n_max_iter):
+    imf = im.astype(jnp.float32)
+    sd = seeding.get_seeds(imf, max_num_seeds=2048)
+    res = gf.iter_fit_seed_points(imf, sd.coords.astype(jnp.float32), sd.valid,
+                                  lm_iters=lm_iters,
+                                  n_max_iter=n_max_iter)
+    return res.spots, res.valid
+
+
+for lm in (20, 14, 12, 10, 8):
+    spots, valid = per_item(f"seed+iter_fit lm_iters={lm}",
+                            lambda im, lm=lm: fit_of(im, lm, 10), lm)
+    # accuracy: match fitted centers (item 0) to planted truth
+    sp = spots[0][np.asarray(valid[0])]
+    cent = sp[:, 1:4]
+    d = np.linalg.norm(cent[:, None] - centers_true[None], axis=2)
+    err = d.min(1)
+    print(f"    n={len(cent)} median err {np.median(err):.4f} px  "
+          f"p95 {np.percentile(err, 95):.4f}", flush=True)
