@@ -27,12 +27,13 @@ def stacked(k0):
 
 def per_item(label, fn, tag):
     f1 = jax.jit(lambda xs: jax.lax.map(fn, xs))
+    sync = lambda o: jax.tree_util.tree_map(np.asarray, o)
     vK = stacked(tag * 1000 + 100)
-    np.asarray(f1(vK[:1])); np.asarray(f1(vK))
+    sync(f1(vK[:1])); sync(f1(vK))
     del vK
     vK2 = stacked(tag * 1000 + 200)
-    t0 = time.perf_counter(); np.asarray(f1(vK2[K - 1:])); t1 = time.perf_counter()
-    t2 = time.perf_counter(); out = np.asarray(f1(vK2)); t3 = time.perf_counter()
+    t0 = time.perf_counter(); sync(f1(vK2[K - 1:])); t1 = time.perf_counter()
+    t2 = time.perf_counter(); out = sync(f1(vK2)); t3 = time.perf_counter()
     del vK2
     per = ((t3 - t2) - (t1 - t0)) / (K - 1)
     print(f"{label:46s} {1e3 * per:8.2f} ms/item", flush=True)
@@ -53,7 +54,8 @@ def fit_of(im, lm_iters, n_max_iter):
     return res.spots, res.valid
 
 
-for lm in (20, 14, 12, 10, 8):
+import sys
+for lm in [int(a) for a in sys.argv[1:]] or (20, 12):
     spots, valid = per_item(f"seed+iter_fit lm_iters={lm}",
                             lambda im, lm=lm: fit_of(im, lm, 10), lm)
     # accuracy: match fitted centers (item 0) to planted truth
