@@ -95,6 +95,14 @@ class DriftConfig:
     upsample_factor: int = 100       # 0.01 px subpixel precision (precision_fold)
     good_drift_th: float = 1.0       # crops agreeing within 1 px form consensus
     min_good_drifts: int = 3
+    # crops registered in the first consensus phase; the remaining crops
+    # are touched only when these disagree.  The reference's sequential
+    # loop (correction_tools/alignment.py:624-674) exits as soon as the
+    # first `min_good_drifts` crops agree, so phase1 = min_good_drifts is
+    # the reference's own common path (and ~25% less FFT work than the
+    # previous k/2).  Raise toward n_crops//2 for noisy experiments where
+    # one bad crop among the first three would otherwise force phase 2.
+    phase1_crops: int = 3
     # crop conditioning before the FFT: mean subtraction kills the constant
     # background's overlap-triangle bias, the xy Hann window suppresses
     # crop-boundary leakage (the role blurnorm2d plays in the reference,

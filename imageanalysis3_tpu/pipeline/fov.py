@@ -155,11 +155,12 @@ class FovPipeline:
 
             # two-phase consensus, the reference's early exit
             # (correction_tools/alignment.py:624-674: stop when >=
-            # min_good_drifts crops agree): register the first half of the
-            # crops batched via vmap; only when they disagree does the
-            # cond branch spend FFTs on the remaining crops.
+            # min_good_drifts crops agree): register the first
+            # `phase1_crops` crops batched via vmap; only when they
+            # disagree does the cond branch spend FFTs on the rest.
             k = len(crops)
-            k1 = max(cfg.drift.min_good_drifts, k // 2)
+            k1 = min(k, max(cfg.drift.min_good_drifts,
+                            getattr(cfg.drift, "phase1_crops", k // 2)))
             drifts1 = jax.vmap(one)(src_b[:k1], spectra[:k1])
             out1, flag1 = consensus_drift(
                 drifts1, drift_diff_th=cfg.drift.good_drift_th,
