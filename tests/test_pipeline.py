@@ -143,3 +143,30 @@ def test_pipeline_ambiguous_fov_sets_fallback_flag(small_cfg):
     ref_im = pipe_a.correct_reference(ims_ref)
     res = pipe_a.process_round(ims_src, ref_im)
     assert int(res.drift_flag) == 1
+
+
+def test_pipeline_phase2_rescues_bad_phase1_crop(small_cfg):
+    """Corrupting one of the first `phase1_crops` crop regions must not
+    poison the drift: phase 1 disagrees, the cond branch registers the
+    remaining crops, and the full-vote consensus still recovers the
+    planted drift with flag 0 (exercises the two-phase `rest` path)."""
+    from imageanalysis3_tpu.config import DriftConfig
+    from imageanalysis3_tpu.ops.drift import generate_drift_crops
+
+    fov = syn.make_synthetic_fov(shape=SHAPE, n_rounds=2, n_channels=2,
+                                 n_spots=12, seed=7, drift_scale=2.0,
+                                 noise=True)
+    cfg = small_cfg.replace(drift=DriftConfig(drift_size=48))
+    pipe_p = FovPipeline(cfg, n_channels=2, drift_channel_index=1,
+                         fit_channel_indices=(0,), image_shape=SHAPE)
+    boxes = generate_drift_crops(SHAPE, 48)
+    b0 = boxes[0]
+    ims_src = np.array(fov.ims[1])
+    # flatten crop 0 of the drift channel: no structure -> wrong drift
+    ims_src[1, b0[0, 0]:b0[0, 1], b0[1, 0]:b0[1, 1],
+            b0[2, 0]:b0[2, 1]] = 500.0
+    ref_im = pipe_p.correct_reference(fov.ims[0])
+    res = pipe_p.process_round(jnp.asarray(ims_src), ref_im)
+    assert int(res.drift_flag) == 0
+    np.testing.assert_allclose(np.asarray(res.drift), -fov.drifts[1],
+                               atol=0.3)
