@@ -340,21 +340,27 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
                          max_contested: Optional[int] = None) -> FitResult:
     """Fit all seeds concurrently with block-synchronous subtract-refit.
 
-    Round 0 mirrors the reference `firstfit` (ownership-masked pixels,
-    delta_center=min_delta_center); round 1 mirrors `repeatfit` for every
-    spot (full ball, neighbors' reconstructions subtracted,
-    delta_center=max_delta_center); rounds 2+ iterate ONLY the contested
-    spots (>= 1 valid neighbor within the 2r interaction range) — an
-    isolated spot's subtract target never changes after round 1, so
-    re-fitting it each round is pure waste (the dominant cost at real
-    densities, where < 5% of spots are contested).  Contested spots are
-    compacted into a prefix of static capacity `max_contested` (default
-    max(128, N/4) rounded up to 128; seeds arrive brightest-first so any
-    overflow freezes the dimmest contested spots at their round-1 fit —
-    the same brightness priority as the reference's sequential order).
-    Per-spot convergence (center step < max_dist_th) is tracked
-    throughout; `n_contested` reports the true contested count so callers
-    can detect overflow.
+    Round 0 mirrors the reference `firstfit` (ownership-masked pixels)
+    with one TPU-batch refinement: CONTESTED spots (>= 1 valid neighbor
+    within the 2r interaction range) use the narrow firstfit center box
+    (delta=min_delta_center) — their pixels still contain neighbors'
+    light, so the center stays anchored to the seed until the first
+    subtract round — while ISOLATED spots, whose subtract target is zero
+    forever, collapse firstfit+repeatfit into ONE wide-box
+    (delta=max_delta_center) fit and never enter the Jacobi rounds.  The
+    reference's repeatfit visits isolated spots once but subtracts
+    nothing; the fixpoint (best fit within the wide box against their
+    own pixels) is identical (iter_fit_seed_points :559-683), and at
+    real densities < 5% of spots are contested, so this removes the
+    dominant repeatfit cost.  Rounds 1..n_max_iter then iterate ONLY the
+    contested spots (full ball, neighbors' reconstructions subtracted,
+    delta_center=max_delta_center), compacted into a prefix of static
+    capacity `max_contested` (default max(128, N/4) rounded up to 128;
+    seeds arrive brightest-first so any overflow freezes the dimmest
+    contested spots at their round-0 fit — the same brightness priority
+    as the reference's sequential order).  Per-spot convergence (center
+    step < max_dist_th) is tracked throughout; `n_contested` reports the
+    true contested count so callers can detect overflow.
     """
     imf = im.astype(jnp.float32)
     n = seeds_zxy.shape[0]
@@ -367,16 +373,24 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
     own = jax.vmap(ownership_mask)(coords, seeds_zxy,
                                    seeds_zxy[nidx], nmask)
 
-    # ---- round 0: firstfit
-    fit0 = jax.vmap(lambda px, co, mk, ce: lm_fit_single(
-        px, co, mk, ce, min_delta_center, min_w, max_w, init_w, lm_iters))
-    params, eps = fit0(pixels, coords, base_mask & own, centers_est)
+    contested = jnp.any(nmask, axis=1) & seeds_valid
+    n_contested = jnp.sum(contested.astype(jnp.int32))
+
+    # ---- round 0: firstfit (isolated spots directly in the wide box —
+    # see docstring; with n_max_iter == 0 every spot keeps the narrow
+    # firstfit box, the reference's firstfit-only behavior)
+    if n_max_iter >= 1:
+        delta0 = jnp.where(contested, min_delta_center, max_delta_center)
+    else:
+        delta0 = jnp.full(n, min_delta_center, jnp.float32)
+    fit0 = jax.vmap(lambda px, co, mk, ce, dl: lm_fit_single(
+        px, co, mk, ce, dl, min_w, max_w, init_w, lm_iters))
+    params, eps = fit0(pixels, coords, base_mask & own, centers_est, delta0)
 
     def natural(p, ce, e, delta):
         return to_natural(p, ce, delta, min_w, max_w, e)
 
-    nat0 = jax.vmap(lambda p, ce, e: natural(p, ce, e, min_delta_center))(
-        params, centers_est, eps)
+    nat0 = jax.vmap(natural)(params, centers_est, eps, delta0)
 
     def recon_at(coords_i, nat_rows, which, wmask):
         """Sum of neighbors' peak reconstructions at this spot's pixels.
@@ -401,14 +415,12 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
 
         return jnp.sum(jax.vmap(one)(nb, wmask), axis=0)
 
-    # rebase round-0 params into the wider repeatfit center box so later
-    # rounds warm-start from the current solution
-    params = jax.vmap(lambda p, ce: rebase_center_params(
-        p, ce, min_delta_center, max_delta_center))(params, centers_est)
+    # rebase contested round-0 params into the wider repeatfit center box
+    # so later rounds warm-start from the current solution (identity for
+    # isolated spots, already fitted in the wide box)
+    params = jax.vmap(lambda p, ce, dl: rebase_center_params(
+        p, ce, dl, max_delta_center))(params, centers_est, delta0)
     repeat_iters = max(8, lm_iters // 3)
-
-    contested = jnp.any(nmask, axis=1) & seeds_valid
-    n_contested = jnp.sum(contested.astype(jnp.int32))
 
     def refit(target_k, coords_k, mask_k, ce_k, p0_k):
         fitk = jax.vmap(lambda px, co, mk, ce, p0: lm_fit_single(
@@ -420,28 +432,16 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
             new_params, ce_k, new_eps)
         return new_params, new_nat
 
-    # ---- round 1: block-synchronous repeatfit over EVERY spot (each gets
-    # one wide-box refit, as in the reference where repeatfit visits every
-    # spot at least once)
-    if n_max_iter >= 1:
-        sub = jax.vmap(recon_at, in_axes=(0, None, 0, 0))(
-            coords, nat0, nidx, nmask)
-        params, nat = refit(pixels - sub, coords, base_mask, centers_est,
-                            params)
-        moved2 = jnp.sum((nat[:, 1:4] - nat0[:, 1:4]) ** 2, axis=1)
-        converged = moved2 < max_dist_th ** 2
-        rounds_done = jnp.int32(1)
-    else:
-        nat = nat0
-        converged = jnp.zeros(n, bool) & seeds_valid
-        rounds_done = jnp.int32(0)
-
-    # ---- rounds 2..n_max_iter: contested prefix only
+    # ---- rounds 1..n_max_iter: block-synchronous repeatfit over the
+    # contested prefix only (isolated spots are final after round 0)
+    nat = nat0
+    converged = ~contested if n_max_iter >= 1 else jnp.zeros(n, bool)
+    rounds_done = jnp.int32(0)
     if max_contested is None:
         cap = min(n, max(128, -(-n // 4 // 128) * 128))
     else:
         cap = max(1, min(n, int(max_contested)))
-    if n_max_iter >= 2 and cap > 0:
+    if n_max_iter >= 1 and cap > 0:
         order = jnp.argsort(~contested, stable=True)     # contested first
         sel_idx = order[:cap]
         iterating = jnp.zeros(n, bool).at[sel_idx].set(contested[sel_idx])
