@@ -159,6 +159,38 @@ def test_fit_convergence_flag():
     assert int(res.n_rounds) <= 10
 
 
+def test_isolated_spots_skip_jacobi_rounds():
+    """A scene with one isolated spot and one contested pair: the isolated
+    spot is final after round 0 (its wide-box fit equals a solo fit of the
+    same image), n_contested counts only the pair, and all three centers
+    stay accurate."""
+    import jax.numpy as jnp
+
+    c_iso = np.array([8.0, 12.0, 12.0])
+    c1 = np.array([8.0, 36.0, 33.0])
+    c2 = np.array([8.0, 36.0, 39.0])
+    im = syn.render_gaussian_spots(
+        (16, 48, 48), np.stack([c_iso, c1, c2]),
+        np.array([2000.0, 1800.0, 1500.0]),
+        np.array([[1.35, 1.9, 1.9]] * 3), background=100.0
+    ).astype(np.float32)
+    seeds = jnp.asarray(np.stack([c_iso, c1, c2]), jnp.float32)
+    res = G.iter_fit_seed_points(im, seeds, jnp.ones(3, bool))
+    assert int(res.n_contested) == 2
+    conv = np.asarray(res.converged)
+    assert conv[0], "isolated spot must be converged by construction"
+    got = np.asarray(res.spots)[:, 1:4]
+    for want, have in zip([c_iso, c1, c2], got):
+        assert np.linalg.norm(want - have) < 0.05, (want, have)
+
+    # the isolated spot's fit must equal fitting it alone in the scene
+    # (no Jacobi round may have touched it)
+    solo = G.iter_fit_seed_points(im, seeds[:1], jnp.ones(1, bool))
+    np.testing.assert_allclose(np.asarray(res.spots)[0],
+                               np.asarray(solo.spots)[0], rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_gfit_fast_matches_reference_transliteration():
     """Moment fast-fit equals a NumPy transliteration of the reference
     gfit_fast (External/Fitting_v4.py:433-490) and localizes a synthetic
