@@ -254,6 +254,14 @@ def gather_blocks(im: jnp.ndarray, seeds_zxy: jnp.ndarray, radius: int):
     faster than the flat big-image gather, whose arbitrary indices defeat
     the TPU's vectorized loads.  Every in-bounds ball pixel provably lies
     inside the clipped (2r)^3 cube.
+
+    A/B'd against keeping the full cube with the ball as a mask (no
+    packing gather, ~2x pixels into the LM loop): end-to-end bench
+    5.14 -> 4.95 stacks/s (fit stage 144 -> 150 ms), so packing wins —
+    the extra masked pixels cost more VPU time in the LM loop than the
+    in-context packing gather costs (scripts/ab_gather2.py; isolated
+    micro-timings of this gather through the axon tunnel are dominated
+    by ~30 ms dispatch latency and cannot be trusted).
     """
     # per-axis cube extent: 2r, clamped to the image (small test stacks
     # can be thinner than the ball along z)
