@@ -13,6 +13,14 @@ from .homolog import (init_homolog_centers, assign_groups_to_homologs,
                       decode_chromosome_homologs, HomologResult)
 from .picker import (SpotPicker, batch_pick_spots, cdf_scores,
                      prepare_score_metrics_by_chr)
+from .population_picking import (pick_spots_by_intensities,
+                                 pick_spots_by_scores,
+                                 em_pick_spots_in_population,
+                                 generate_reference_from_population,
+                                 chromosome_center_dists,
+                                 local_center_dists, spots_to_hzxys,
+                                 PopulationReference,
+                                 PopulationPickResult, PopulationEMResult)
 
 __all__ = [
     "naive_pick_spots", "dynamic_pick_spots", "em_pick_spots",
@@ -28,4 +36,8 @@ __all__ = [
     "HomologResult",
     "SpotPicker", "batch_pick_spots", "cdf_scores",
     "prepare_score_metrics_by_chr",
+    "pick_spots_by_intensities", "pick_spots_by_scores",
+    "em_pick_spots_in_population", "generate_reference_from_population",
+    "chromosome_center_dists", "local_center_dists", "spots_to_hzxys",
+    "PopulationReference", "PopulationPickResult", "PopulationEMResult",
 ]
