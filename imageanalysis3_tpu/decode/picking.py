@@ -420,3 +420,72 @@ def build_candidate_table(spots_by_region, capacity: Optional[int] = None):
         cand[j, :n] = sp[:n]
         valid[j, :n] = good
     return cand, valid, np.asarray(ids, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Candidate merging and chromosome assignment (reference picking.py:662-795)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("hard_intensity_th", "n_lists"))
+def merge_spot_lists(spots: jnp.ndarray, valid: jnp.ndarray,
+                     dist_th: float = 0.1, dist_norm: float = 2.0,
+                     intensity_th: float = 0.0,
+                     hard_intensity_th: bool = True,
+                     n_lists: int = 1) -> jnp.ndarray:
+    """Deduplicate concatenated candidate lists -> kept mask.
+
+    Behavior target: reference merge_spot_list (picking.py:662-765): walk
+    candidates in order; a still-kept spot removes every later spot
+    within `dist_th` (pixels, `dist_norm`-norm).  The intensity screen
+    runs first: hard mode drops every spot below `intensity_th`, soft
+    mode keeps the top max(n_lists, #above-threshold) by intensity
+    (:714-723).  The sequential first-come walk is a `fori_loop` over the
+    precomputed pairwise-within-threshold matrix — each step is a masked
+    row broadcast, matching the reference's iteration order exactly.
+    """
+    n = spots.shape[0]
+    ints = jnp.where(valid, spots[:, 0], -jnp.inf)
+    if hard_intensity_th:
+        kept0 = valid & (spots[:, 0] >= intensity_th)
+    else:
+        order = jnp.argsort(-ints)
+        rank = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        n_above = jnp.sum((ints >= intensity_th).astype(jnp.int32))
+        keep_n = jnp.maximum(jnp.int32(n_lists), n_above)
+        kept0 = valid & (rank < keep_n)
+    diff = jnp.abs(spots[:, None, 1:4] - spots[None, :, 1:4])
+    if dist_norm == 2.0:
+        d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    else:
+        d = jnp.sum(diff ** dist_norm, axis=-1) ** (1.0 / dist_norm)
+    close = (d < dist_th) & valid[:, None] & valid[None, :]
+    close = close & ~jnp.eye(n, dtype=bool)
+
+    def body(i, kept):
+        drop = kept[i] & close[i] & (jnp.arange(n) != i)
+        return kept & ~drop
+
+    return jax.lax.fori_loop(0, n, body, kept0)
+
+
+@jax.jit
+def assign_spots_to_chromosomes(spots: jnp.ndarray, valid: jnp.ndarray,
+                                chrom_coords: jnp.ndarray,
+                                pixel_size_nm=DEFAULT_PIXEL_SIZE_NM
+                                ) -> jnp.ndarray:
+    """Nearest-chromosome index per spot (-1 for invalid spots).
+
+    Behavior target: reference assign_spots_to_chromosomes
+    (picking.py:767-794): both spots and chromosome centers scale from
+    pixels to nm before the distance argmin.  The ragged per-chromosome
+    output lists become this index vector; gather rows with
+    ``spots[assignment == k]`` on the host.
+    """
+    px = jnp.asarray(pixel_size_nm, jnp.float32)
+    zxys = spots[:, 1:4] * px[None]
+    chrom_zxys = chrom_coords * px[None]
+    d = jnp.linalg.norm(zxys[:, None] - chrom_zxys[None], axis=-1)
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    return jnp.where(valid, idx, -1)

@@ -425,3 +425,40 @@ def em_pick_spots_in_population(cand_hzxys: jnp.ndarray,
                                 axis=-1)[..., 0]
     score = jnp.where(jnp.any(cand_valid, -1), score, jnp.nan)
     return PopulationEMResult(picked, score, idx, n_it, change)
+
+
+@jax.jit
+def evaluate_differences(old_hzxys: jnp.ndarray,
+                         new_hzxys: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of picked positions that moved < 0.01 nm between two pick
+    sets, over positions finite in both (reference evaluate_differences,
+    picking.py:2280-2284)."""
+    d = jnp.linalg.norm(old_hzxys[..., 1:4] - new_hzxys[..., 1:4], axis=-1)
+    fin = jnp.isfinite(d)
+    n = jnp.maximum(jnp.sum(fin.astype(jnp.float32)), 1.0)
+    return jnp.sum(((d < 0.01) & fin).astype(jnp.float32)) / n
+
+
+@partial(jax.jit, static_argnames=("keep_no_ref",))
+def screen_rna_based_on_refs(cand_hzxys: jnp.ndarray,
+                             cand_valid: jnp.ndarray,
+                             cand_to_ref: jnp.ndarray,
+                             ref_hzxys: jnp.ndarray,
+                             dist_th: float = 500.0,
+                             keep_no_ref: bool = False) -> jnp.ndarray:
+    """Keep RNA candidates within `dist_th` nm of their DNA reference.
+
+    cand_hzxys: (R', C, 4); cand_to_ref: (R',) index of each RNA region's
+    reference row in ref_hzxys (R, 4).  Regions whose reference is NaN
+    keep everything (keep_no_ref=True) or nothing (False).  Returns the
+    screened validity mask (reference screen_RNA_based_on_refs,
+    picking.py:2287-2316 — the ragged empty-list outputs become mask
+    clears).
+    """
+    ref = ref_hzxys[cand_to_ref]                           # (R', 4)
+    ref_ok = jnp.all(jnp.isfinite(ref[:, 1:4]), axis=-1)
+    d = jnp.linalg.norm(cand_hzxys[..., 1:4] - ref[:, None, 1:4], axis=-1)
+    near = cand_valid & (d <= dist_th)
+    if keep_no_ref:
+        return jnp.where(ref_ok[:, None], near, cand_valid)
+    return jnp.where(ref_ok[:, None], near, False)
