@@ -88,6 +88,25 @@ def spots_to_intensity(im: jnp.ndarray, coords: jnp.ndarray,
     return jnp.where(valid, out, jnp.nan)
 
 
+@partial(jax.jit, static_argnames=("search_radius",))
+def find_coordinate_intensities(im: jnp.ndarray, coords: jnp.ndarray,
+                                search_radius: int = 5) -> jnp.ndarray:
+    """(N, (2r+1)^3) image intensities around each rounded spot
+    coordinate, edge-CLAMPED rather than masked — out-of-bounds
+    neighborhood voxels read the nearest border voxel, matching the
+    reference exactly (find_coordinate_intensities,
+    classes/partition_spots.py:212-236)."""
+    offs = jnp.asarray(_cube_offsets(search_radius))
+    base = jnp.round(coords).astype(jnp.int32)
+    pos = base[:, None, :] + offs[None]
+    shape = jnp.asarray(im.shape, jnp.int32)
+    cpos = jnp.clip(pos, 0, shape[None, None] - 1)
+    flat = im.reshape(-1).astype(jnp.float32)
+    idx = (cpos[..., 0] * im.shape[1] + cpos[..., 1]) * im.shape[2] \
+        + cpos[..., 2]
+    return jnp.take(flat, idx)
+
+
 def count_genes(labels_per_bit: Dict[int, np.ndarray],
                 n_cells: Optional[int] = None) -> Tuple[np.ndarray,
                                                         np.ndarray,

@@ -444,3 +444,201 @@ class MerfishDecoder:
             jnp.asarray(self._region_bits), positions,
             max_tuple_size=self.codebook.n_on_bits, max_usage=max_usage)
         return groups
+
+
+# ---------------------------------------------------------------------------
+# Group QC: seeding groups, unused spots, invalid-pair negative controls
+# (reference Merfish_Decoder.find_seeding_groups/find_unused_spots/
+#  collect_invalid_pairs/generate_reference, decode.py:641-691;
+#  DNA_Merfish_Decoder.generate_random_invalid_pairs :1314-1342;
+#  calculate_self_scores :1087-1117)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def find_seeding_groups(groups: SpotGroups,
+                        num_cand_per_region: int = 2) -> jnp.ndarray:
+    """(P,) mask of groups whose every member spot is claimed by at most
+    `num_cand_per_region` groups — the unambiguous "seeding" groups the
+    homolog initialization trusts (reference find_seeding_groups,
+    decode.py:641-653)."""
+    usage = groups.spot_usage[jnp.maximum(groups.spot_idx, 0)]  # (P, T)
+    member = groups.spot_idx >= 0
+    ok_members = jnp.all(jnp.where(member, usage <= num_cand_per_region,
+                                   True), axis=1)
+    return groups.ok & ok_members
+
+
+@jax.jit
+def find_unused_spots(groups: SpotGroups,
+                      valid: jnp.ndarray) -> jnp.ndarray:
+    """(N,) mask of candidate spots no selected group claimed (reference
+    find_unused_spots, decode.py:656-664)."""
+    return valid & (groups.spot_usage == 0)
+
+
+@jax.jit
+def collect_invalid_pairs(positions: jnp.ndarray,
+                          unused: jnp.ndarray):
+    """Nearest-neighbor pairs among unused spots -> (i, j, ok).
+
+    The negative-control population for tuple self-scoring (reference
+    collect_invalid_pairs, decode.py:667-672: each unused spot pairs with
+    its nearest unused neighbor).  Brute-force d^2 argmin on the MXU
+    replaces the KDTree."""
+    n = positions.shape[0]
+    sq = jnp.sum(positions * positions, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (positions @ positions.T)
+    both = unused[:, None] & unused[None, :]
+    d2 = jnp.where(both & ~jnp.eye(n, dtype=bool), d2, jnp.inf)
+    j = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    ok = unused & jnp.isfinite(jnp.min(d2, axis=1))
+    return jnp.arange(n, dtype=jnp.int32), j, ok
+
+
+def generate_random_invalid_pairs(bit_index: np.ndarray,
+                                  valid: np.ndarray,
+                                  pair_region: np.ndarray,
+                                  total_num: int = 2000,
+                                  rng: Optional[np.random.Generator] = None
+                                  ):
+    """Sample spot pairs whose bit pair decodes to NOTHING -> (i, j) host
+    arrays (reference generate_random_invalid_pairs, decode.py:1314-1342:
+    spread `total_num` samples evenly over the invalid bit pairs,
+    skipping pairs whose bits lack enough spots).  Host-side: sampling is
+    O(total_num) and feeds the jitted metric/score path."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    n_bits = pair_region.shape[0]
+    invalid_bit_pairs = [(a, b) for a in range(n_bits)
+                         for b in range(a + 1, n_bits)
+                         if pair_region[a, b] < 0]
+    rng.shuffle(invalid_bit_pairs)
+    if not invalid_bit_pairs:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    per_pair = int(np.ceil(total_num / len(invalid_bit_pairs)))
+    spots_of_bit = {b: np.flatnonzero((bit_index == b) & valid)
+                    for b in range(n_bits)}
+    ii, jj = [], []
+    for a, b in invalid_bit_pairs:
+        if len(ii) >= total_num:
+            break
+        sa, sb = spots_of_bit[a], spots_of_bit[b]
+        if len(sa) < per_pair or len(sb) < per_pair:
+            continue
+        ii.extend(rng.choice(sa, per_pair))
+        jj.extend(rng.choice(sb, per_pair))
+    return (np.asarray(ii[:total_num], np.int32),
+            np.asarray(jj[:total_num], np.int32))
+
+
+@jax.jit
+def group_reference_metrics(groups: SpotGroups, spots: jnp.ndarray,
+                            positions: jnp.ndarray):
+    """Per-group (mean intensity, min internal distance, ok) — the
+    reference populations for self-scoring (reference generate_reference,
+    decode.py:684-691, intensity_metric='mean', dist_metric='min')."""
+    idx = jnp.maximum(groups.spot_idx, 0)                   # (P, T)
+    member = (groups.spot_idx >= 0) & groups.ok[:, None]
+    ints = spots[idx, 0]
+    cnt = jnp.maximum(jnp.sum(member, axis=1), 1)
+    mean_int = jnp.sum(jnp.where(member, ints, 0.0), axis=1) / cnt
+    pos = positions[idx]                                     # (P, T, 3)
+    d = jnp.linalg.norm(pos[:, :, None] - pos[:, None], axis=-1)
+    pair_ok = (member[:, :, None] & member[:, None]
+               & ~jnp.eye(idx.shape[1], dtype=bool)[None])
+    min_d = jnp.min(jnp.where(pair_ok, d, jnp.inf), axis=(1, 2))
+    has_pair = jnp.any(pair_ok, axis=(1, 2))
+    return mean_int, jnp.where(has_pair, min_d, jnp.nan), \
+        groups.ok & has_pair
+
+
+@jax.jit
+def pair_metrics(spots: jnp.ndarray, positions: jnp.ndarray,
+                 i: jnp.ndarray, j: jnp.ndarray, ok: jnp.ndarray):
+    """(mean intensity, distance) of explicit spot pairs."""
+    mean_int = 0.5 * (spots[i, 0] + spots[j, 0])
+    d = jnp.linalg.norm(positions[i] - positions[j], axis=-1)
+    return jnp.where(ok, mean_int, jnp.nan), jnp.where(ok, d, jnp.nan)
+
+
+@partial(jax.jit, static_argnames=("intensity_factor",
+                                   "inner_dist_factor"))
+def tuple_self_scores(groups: SpotGroups, spots: jnp.ndarray,
+                      positions: jnp.ndarray,
+                      invalid_i: Optional[jnp.ndarray] = None,
+                      invalid_j: Optional[jnp.ndarray] = None,
+                      invalid_ok: Optional[jnp.ndarray] = None,
+                      intensity_factor: float = 1.0,
+                      inner_dist_factor: float = -1.0) -> jnp.ndarray:
+    """Self-scores of selected groups against their own population, with
+    an optional invalid-pair negative control (reference
+    calculate_self_scores, decode.py:1087-1117):
+    score = f_dist * cdf_log_odds(min internal dist)
+          + f_int * cdf_log_odds(mean intensity), where the log odds
+    compare each metric's rank in the valid population against its rank
+    in the invalid-pair population (spot_tools.scoring
+    generate_cdf_scores)."""
+    from .scoring import generate_cdf_scores, sort_ref_values
+
+    ints, dists, ok = group_reference_metrics(groups, spots, positions)
+    pos_i, cnt_i = sort_ref_values(ints, ok)
+    pos_d, cnt_d = sort_ref_values(dists, ok)
+    if invalid_i is not None:
+        neg_ints, neg_dists = pair_metrics(spots, positions,
+                                           invalid_i, invalid_j,
+                                           invalid_ok)
+        neg_i, ncnt_i = sort_ref_values(neg_ints)
+        neg_d, ncnt_d = sort_ref_values(neg_dists)
+        int_sc = generate_cdf_scores(ints, pos_i, cnt_i, neg_i, ncnt_i)
+        dist_sc = generate_cdf_scores(dists, pos_d, cnt_d, neg_d, ncnt_d)
+    else:
+        int_sc = generate_cdf_scores(ints, pos_i, cnt_i)
+        dist_sc = generate_cdf_scores(dists, pos_d, cnt_d)
+    score = intensity_factor * int_sc + inner_dist_factor * dist_sc
+    return jnp.where(ok, score, -jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# Candidate preparation: per-channel normalization + chromatic recentering
+# (reference normalize_ch_2_channels :1832-1851,
+#  refine_chromatic_by_channel_center :1853-1876,
+#  adjust_spots_by_chromatic_center :1878-1898)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_channels",))
+def normalize_intensities_by_channel(spots: jnp.ndarray,
+                                     channel_idx: jnp.ndarray,
+                                     valid: jnp.ndarray,
+                                     n_channels: int) -> jnp.ndarray:
+    """Divide each spot's height by its channel's mean intensity
+    (reference normalize_ch_2_channels, decode.py:1832-1851)."""
+    h = jnp.where(valid, spots[:, 0], 0.0)
+    sums = jnp.zeros(n_channels).at[channel_idx].add(h)
+    cnts = jnp.zeros(n_channels).at[channel_idx].add(
+        valid.astype(jnp.float32))
+    mean = sums / jnp.maximum(cnts, 1.0)
+    norm = jnp.maximum(mean[channel_idx], 1e-12)
+    return spots.at[:, 0].set(spots[:, 0] / norm)
+
+
+@partial(jax.jit, static_argnames=("n_channels", "ref_channel_idx"))
+def adjust_spots_by_chromatic_center(spots: jnp.ndarray,
+                                     channel_idx: jnp.ndarray,
+                                     valid: jnp.ndarray,
+                                     n_channels: int,
+                                     ref_channel_idx: int = 0
+                                     ) -> jnp.ndarray:
+    """Residual chromatic refinement: translate every channel's spot
+    cloud so its centroid matches the reference channel's (reference
+    adjust_spots_by_chromatic_center, decode.py:1878-1898; the dict-keyed
+    refine_chromatic_by_channel_center :1853-1876 is the same operation).
+    """
+    coords = jnp.where(valid[:, None], spots[:, 1:4], 0.0)
+    sums = jnp.zeros((n_channels, 3)).at[channel_idx].add(coords)
+    cnts = jnp.zeros(n_channels).at[channel_idx].add(
+        valid.astype(jnp.float32))
+    centers = sums / jnp.maximum(cnts, 1.0)[:, None]
+    shift = centers - centers[ref_channel_idx][None]
+    return spots.at[:, 1:4].set(spots[:, 1:4] - shift[channel_idx])
