@@ -2,7 +2,9 @@
 
 from .dax import (DaxMetadata, read_inf, read_dax, write_dax,
                   split_channels, interleave_channels,
-                  get_num_frames_and_colors, channel_start_frames)
+                  get_num_frames_and_colors, channel_start_frames,
+                  read_dax_window, read_channel_crops,
+                  remove_dax_channels)
 from .native_loader import (load_dax_channels, split_channels_native,
                             native_loader_available)
 from .color_usage import (ColorUsage, load_color_usage, find_hyb_folders,
@@ -27,6 +29,7 @@ __all__ = [
     "interleave_channels", "get_num_frames_and_colors",
     "channel_start_frames", "load_dax_channels", "split_channels_native",
     "native_loader_available",
+    "read_dax_window", "read_channel_crops", "remove_dax_channels",
     "ColorUsage", "load_color_usage", "find_hyb_folders",
     "load_encoding_scheme", "load_region_positions",
     "load_rna_info", "load_gene_info", "load_chip_data",

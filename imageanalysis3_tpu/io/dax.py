@@ -248,6 +248,183 @@ def split_channels(movie: np.ndarray,
             for s in starts]
 
 
+def read_dax_window(filename: str,
+                    zlims: Sequence[int],
+                    xlims: Optional[Sequence[int]] = None,
+                    ylims: Optional[Sequence[int]] = None,
+                    zstep: int = 1,
+                    zstarts: Union[int, Sequence[int]] = 0,
+                    meta: Optional[DaxMetadata] = None
+                    ) -> List[np.ndarray]:
+    """Read only a (frames, rows, cols) window of a .dax movie from disk.
+
+    Behavior target: visual_tools.py:2073-2183 (slice_image) — the
+    memory-efficient partial read behind the reference's per-cell crop
+    loaders.  ``zlims`` select raw frame indices [z0, z1); within that
+    range one sub-stack is gathered per ``zstarts`` entry at stride
+    ``zstep`` (the interleaved-channel layout: zstep = n_colors, zstart =
+    channel id).  The read goes through a memmap so only the touched
+    pages — the selected frames' row window — are ever paged in; a
+    2048x2048 x 60-frame movie yields a 64^3 crop with ~0.4% of the file
+    read.
+
+    Returns one (dz, dx, dy) contiguous uint16 array per zstart.
+    """
+    if zstep <= 0:
+        raise ValueError(f"zstep must be positive, got {zstep}")
+    starts = [zstarts] if isinstance(zstarts, (int, np.integer)) else list(zstarts)
+    for s in starts:
+        if s < 0 or s >= zstep:
+            raise ValueError(f"zstart {s} outside [0, {zstep})")
+    movie, meta = read_dax(filename, meta=meta, memmap=True)
+    z0, z1 = sorted(int(v) for v in zlims)
+    x0, x1 = sorted(int(v) for v in xlims) if xlims is not None \
+        else (0, meta.image_height)
+    y0, y1 = sorted(int(v) for v in ylims) if ylims is not None \
+        else (0, meta.image_width)
+    z0 = max(z0, 0)
+    z1 = min(z1, meta.number_frames)
+    out = []
+    for s in starts:
+        first = z0 + (s - z0) % zstep
+        out.append(np.ascontiguousarray(movie[first:z1:zstep, x0:x1, y0:y1]))
+    return out
+
+
+def _normalize_crop_limits(crop_limits, single_im_size) -> np.ndarray:
+    """(2|3)x2 crop limits -> full 3x2 int array with negative-upper
+    wraparound (reference visual_tools.py:2550-2566)."""
+    size = np.asarray(single_im_size, dtype=np.int64)
+    if crop_limits is None:
+        lims = np.stack([np.zeros(3, np.int64), size], axis=1)
+    else:
+        lims = np.asarray(crop_limits, dtype=np.int64)
+        if lims.shape == (2, 2):
+            lims = np.concatenate([np.array([[0, size[0]]]), lims], axis=0)
+        elif lims.shape != (3, 2):
+            raise ValueError(f"crop_limits must be 2x2 or 3x2, "
+                             f"got {np.shape(crop_limits)}")
+        lims = lims.copy()
+        for ax in range(3):
+            if lims[ax, 1] < 0:
+                lims[ax, 1] += size[ax]
+    return lims
+
+
+def read_channel_crops(filename: str,
+                       sel_channels: Sequence[Union[str, int]],
+                       crop_limits=None,
+                       *,
+                       all_channels: Sequence[Union[str, int]],
+                       n_z: int = 30,
+                       buffer_frames: int = 10,
+                       empty_frames: int = 0,
+                       skip_frame0: bool = False,
+                       drift: Optional[Sequence[float]] = None,
+                       return_limits: bool = False,
+                       meta: Optional[DaxMetadata] = None
+                       ) -> Union[List[np.ndarray],
+                                  Tuple[List[np.ndarray], np.ndarray]]:
+    """Drift-aware cropped channel load straight from disk.
+
+    Behavior target: visual_tools.py:2514-2612
+    (crop_multi_channel_image_v2), the reference's production per-cell
+    disk loader: expand the requested window by ceil(|drift|) per axis,
+    read ONLY that window (:func:`read_dax_window`), then resample the
+    small crop onto the drift-corrected grid — so a whole-FOV load and
+    warp never happens.  The resample runs on device through
+    ``ops.warp.trilinear_map_coordinates`` (the same kernel the full-FOV
+    correction path uses), replacing the reference's host
+    ``scipy.ndimage.map_coordinates`` call.
+
+    ``crop_limits``: 2x2 (x/y, full z) or 3x2 (z/x/y) in per-channel
+    pixel coordinates; negative upper limits wrap (numpy-slice style).
+    ``drift``: (dz, dx, dy) in THIS repo's convention — the value
+    ``align_image`` returns and the FOV store persists, under which the
+    full-FOV path corrects via ``corrected(x) = im(x - drift)``
+    (ops/warp.py warp_image_drift); store drifts feed here directly.
+    (The reference's crop loader uses the opposite sign.)
+
+    Returns one (dz, dx, dy) float32 (drift) or uint16 (no drift) crop
+    per selected channel; with ``return_limits``, also the 3x2 limits the
+    crops cover in the corrected frame.
+    """
+    if meta is None:
+        meta = read_inf(filename)
+    starts, n_colors = channel_start_frames(
+        sel_channels, all_channels, buffer_frames=buffer_frames,
+        empty_frames=empty_frames, skip_frame0=skip_frame0)
+    single_im_size = (n_z, meta.image_height, meta.image_width)
+    lims = _normalize_crop_limits(crop_limits, single_im_size)
+    d = np.zeros(3) if drift is None else np.asarray(drift, dtype=np.float64)
+    if d.shape != (3,):
+        raise ValueError(f"drift must have 3 entries, got {d.shape}")
+    # expand by the drift magnitude so the shifted window stays inside
+    # the read (clamped at image borders, like the reference)
+    pad = np.ceil(np.abs(d)).astype(np.int64)
+    read_lims = np.stack([np.maximum(lims[:, 0] - pad, 0),
+                          np.minimum(lims[:, 1] + pad, single_im_size)],
+                         axis=1)
+    crops = []
+    for s in starts:
+        zlims = (s + read_lims[0, 0] * n_colors,
+                 s + read_lims[0, 1] * n_colors)
+        (crop,) = read_dax_window(
+            filename, zlims, read_lims[1], read_lims[2],
+            zstep=n_colors, zstarts=s % n_colors, meta=meta)
+        crops.append(crop)
+    if d.any():
+        from ..ops.warp import trilinear_map_coordinates
+        import jax.numpy as jnp
+        # output voxel (z,x,y) in corrected-frame coords lims[:,0]+idx
+        # samples the raw image at -drift (repo convention, see above),
+        # expressed in read-window coords
+        offs = lims[:, 0] - read_lims[:, 0] - d
+        axes = [jnp.arange(int(lims[ax, 1] - lims[ax, 0]), dtype=jnp.float32)
+                + jnp.float32(offs[ax]) for ax in range(3)]
+        zz, xx, yy = jnp.meshgrid(*axes, indexing="ij")
+        crops = [np.asarray(trilinear_map_coordinates(
+            jnp.asarray(c, jnp.float32), jnp.stack([zz, xx, yy])))
+            for c in crops]
+    if return_limits:
+        return crops, lims
+    return crops
+
+
+def remove_dax_channels(source_filename: str,
+                        target_filename: str,
+                        keep_channels: Sequence[Union[str, int]],
+                        all_channels: Sequence[Union[str, int]],
+                        n_z: int = 30,
+                        buffer_frames: int = 10,
+                        empty_frames: int = 0,
+                        overwrite: bool = False) -> List[str]:
+    """Rewrite a .dax keeping only ``keep_channels`` (in that order).
+
+    Behavior target: visual_tools.py:3165-3255 (Remove_Dax_Channel +
+    shuffle_channel_order): drop the frames of unwanted channels,
+    reorder the kept ones to the requested order, preserve the
+    warm-up/trailing buffer frames, and write a fresh .inf.  Reads go
+    through the movie memmap so only kept frames are paged in.
+
+    Returns the kept channel names actually written.
+    """
+    if os.path.isfile(target_filename) and not overwrite:
+        raise FileExistsError(f"{target_filename} exists (overwrite=False)")
+    src = [str(c) for c in all_channels]
+    kept = [str(c) for c in keep_channels if str(c) in src]
+    if not kept:
+        raise ValueError(f"no channel of {keep_channels} present in {src}")
+    movie, _ = read_dax(source_filename, memmap=True)
+    stacks = split_channels(movie, kept, src, n_z=n_z,
+                            buffer_frames=buffer_frames,
+                            empty_frames=empty_frames)
+    out = interleave_channels(stacks, buffer_frames=buffer_frames,
+                              empty_frames=empty_frames)
+    write_dax(target_filename, out)
+    return kept
+
+
 def interleave_channels(stacks: Sequence[np.ndarray],
                         buffer_frames: int = 10,
                         empty_frames: int = 0) -> np.ndarray:

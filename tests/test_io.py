@@ -402,3 +402,96 @@ def test_microscope_geometry(tmp_path):
         microscope_correct_image(im, None)
     with pytest.raises(ValueError):
         microscope_correct_image(im[0, 0], params)
+
+
+# ---------------------------------------------------------------------------
+# windowed disk reads (reference slice_image / crop_multi_channel_image_v2)
+
+def _write_channel_movie(tmp_path, rng, n_z=8, hw=(24, 20), channels=3,
+                         buffer_frames=4, empty_frames=0):
+    from imageanalysis3_tpu.io import interleave_channels
+    stacks = [rng.integers(0, 60000, size=(n_z,) + hw).astype(np.uint16)
+              for _ in range(channels)]
+    movie = interleave_channels(stacks, buffer_frames=buffer_frames,
+                                empty_frames=empty_frames)
+    path = str(tmp_path / "win_zscan_00.dax")
+    write_dax(path, movie)
+    return path, stacks, movie
+
+
+def test_read_dax_window_matches_full_read(tmp_path, rng):
+    """Partial read == the same slice of the full movie, incl. the
+    interleaved zstep/zstart layout (visual_tools.py:2073-2183)."""
+    from imageanalysis3_tpu.io import read_dax_window
+    movie = rng.integers(0, 65535, size=(13, 16, 18)).astype(np.uint16)
+    path = str(tmp_path / "w.dax")
+    write_dax(path, movie)
+    (w,) = read_dax_window(path, (3, 11), (2, 9), (5, 17))
+    np.testing.assert_array_equal(w, movie[3:11, 2:9, 5:17])
+    # strided multi-start: channel layout with 3 colors
+    a, b = read_dax_window(path, (2, 12), None, (0, 10), zstep=3,
+                           zstarts=[1, 0])
+    np.testing.assert_array_equal(a, movie[4:12:3, :, 0:10])
+    np.testing.assert_array_equal(b, movie[3:12:3, :, 0:10])
+    # limits clamp + swapped order tolerated
+    (c,) = read_dax_window(path, (11, 3), (0, 99), (0, 18))
+    np.testing.assert_array_equal(c, movie[3:11])
+
+
+def test_read_channel_crops_no_drift(tmp_path, rng):
+    from imageanalysis3_tpu.io import read_channel_crops
+    path, stacks, _ = _write_channel_movie(tmp_path, rng)
+    chans = ["750", "647", "561"]
+    crops = read_channel_crops(
+        path, ["647", "561"], [[2, 6], [3, 17], [4, -2]],
+        all_channels=chans, n_z=8, buffer_frames=4)
+    np.testing.assert_array_equal(crops[0], stacks[1][2:6, 3:17, 4:18])
+    np.testing.assert_array_equal(crops[1], stacks[2][2:6, 3:17, 4:18])
+    # 2x2 limits -> full z; limits returned
+    crops, lims = read_channel_crops(
+        path, ["750"], [[1, 9], [0, 12]], all_channels=chans, n_z=8,
+        buffer_frames=4, return_limits=True)
+    np.testing.assert_array_equal(crops[0], stacks[0][:, 1:9, 0:12])
+    np.testing.assert_array_equal(lims, [[0, 8], [1, 9], [0, 12]])
+
+
+def test_read_channel_crops_drift_matches_fullfov_warp(tmp_path, rng):
+    """The windowed drift resample must equal warp-the-whole-FOV-then-crop
+    (the full-FOV path's warp_image_drift) away from image borders, for
+    the SAME stored drift sign."""
+    import jax.numpy as jnp
+    from imageanalysis3_tpu.io import read_channel_crops
+    from imageanalysis3_tpu.ops.warp import warp_image_drift
+    path, stacks, _ = _write_channel_movie(tmp_path, rng, n_z=10,
+                                           hw=(28, 26))
+    drift = np.array([0.7, -1.3, 2.4], np.float32)
+    full = np.asarray(warp_image_drift(jnp.asarray(stacks[1], jnp.float32),
+                                       jnp.asarray(drift)))
+    lims = [[3, 8], [4, 22], [5, 20]]
+    (crop,) = read_channel_crops(path, ["647"], lims,
+                                 all_channels=["750", "647", "561"],
+                                 n_z=10, buffer_frames=4, drift=drift)
+    # the factorized full-FOV warp and the direct trilinear gather round
+    # differently in float32; 0.1 on a 60000-count scale is pure rounding
+    np.testing.assert_allclose(
+        crop, full[3:8, 4:22, 5:20], rtol=0, atol=0.1)
+
+
+def test_remove_dax_channels(tmp_path, rng):
+    from imageanalysis3_tpu.io import (read_dax, remove_dax_channels,
+                                       split_channels)
+    path, stacks, _ = _write_channel_movie(tmp_path, rng)
+    target = str(tmp_path / "kept.dax")
+    kept = remove_dax_channels(path, target, ["561", "750"],
+                               ["750", "647", "561"], n_z=8,
+                               buffer_frames=4)
+    assert kept == ["561", "750"]
+    back, meta = read_dax(target)
+    assert meta.number_frames == 2 * 8 + 2 * 4
+    out = split_channels(back, ["561", "750"], ["561", "750"], n_z=8,
+                         buffer_frames=4)
+    np.testing.assert_array_equal(out[0], stacks[2])
+    np.testing.assert_array_equal(out[1], stacks[0])
+    with pytest.raises(FileExistsError):
+        remove_dax_channels(path, target, ["750"], ["750", "647", "561"],
+                            n_z=8, buffer_frames=4)
