@@ -13,7 +13,9 @@ from .domains import (sliding_window_dist, find_peaks_1d,
                       domain_stat, domain_neighboring_stats)
 from .compartments import (normalize_center_spots, ab_axis_projection,
                            spots_to_density, compartment_scores,
-                           ab_compartment_eigenscore)
+                           ab_compartment_eigenscore,
+                           winsorize, randomize_index_dict,
+                           density_overlaps)
 from .partition import (spots_to_labels, spots_to_intensity, count_genes,
                         translate_label_image)
 from .structure import (contact_map, domain_contact_freq,
@@ -53,6 +55,7 @@ __all__ = [
     "domain_stat", "domain_neighboring_stats",
     "normalize_center_spots", "ab_axis_projection", "spots_to_density",
     "compartment_scores", "ab_compartment_eigenscore",
+    "winsorize", "randomize_index_dict", "density_overlaps",
     "spots_to_labels", "spots_to_intensity", "count_genes",
     "translate_label_image",
     "contact_map", "domain_contact_freq", "inter_domain_interactions",

@@ -171,3 +171,49 @@ def ab_compartment_eigenscore(distmap: np.ndarray,
         ev = -ev
     ev[~valid] = np.nan
     return ev
+
+
+def winsorize(scores, l_per: float = 5.0, u_per: float = 5.0,
+              normalize: bool = False) -> np.ndarray:
+    """Clamp scores to [l_per, 100-u_per] percentiles, optionally min-max
+    normalize (reference compartment_tools/scoring.py:351-360).
+    NaN-aware: percentiles ignore NaNs and NaN entries stay NaN."""
+    s = np.asarray(scores, np.float64).copy()
+    finite = np.isfinite(s)
+    if finite.any():
+        lo = np.percentile(s[finite], l_per)
+        hi = np.percentile(s[finite], 100.0 - u_per)
+        s[finite] = np.clip(s[finite], lo, hi)
+        if normalize:
+            mn, mx = np.nanmin(s), np.nanmax(s)
+            s = (s - mn) / max(mx - mn, 1e-12)
+    return s
+
+
+def randomize_index_dict(index_dict: dict, key1: str = "A", key2: str = "B",
+                         rng: "np.random.Generator | None" = None) -> dict:
+    """Shuffle the union of two compartments' region indices back into two
+    groups of the original sizes — the null control for compartment
+    scoring (reference compartment_tools/scoring.py:18-50).  Takes an
+    explicit ``rng`` so controls are reproducible."""
+    for k in (key1, key2):
+        if k not in index_dict:
+            raise KeyError(f"{k} not in index_dict")
+    rng = np.random.default_rng() if rng is None else rng
+    i1 = np.asarray(index_dict[key1], np.int64)
+    i2 = np.asarray(index_dict[key2], np.int64)
+    both = np.concatenate([i1, i2])
+    perm = rng.permutation(len(both))
+    return {key1: np.sort(both[perm[:len(i1)]]),
+            key2: np.sort(both[perm[len(i1):]])}
+
+
+def density_overlaps(d1, d2, method: str = "geometric") -> float:
+    """Bhattacharyya-style overlap of two density clouds (reference
+    compartment_tools/scoring.py:329-340)."""
+    d1 = np.asarray(d1, np.float64)
+    d2 = np.asarray(d2, np.float64)
+    if method != "geometric":
+        raise ValueError(f"unknown overlap method {method!r}")
+    return float(np.nansum(np.sqrt(d1 * d2))
+                 / np.sqrt(np.nansum(d1) * np.nansum(d2)))

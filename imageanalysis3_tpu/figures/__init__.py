@@ -19,7 +19,8 @@ from .plots import (plot_distance_map, plot_boundaries, plot_projection,
                     plot_decode_stats, plot_spot_overlay,
                     plot_segmentation_labels, plot_cell_spot_counts,
                     plot_boundary_probability,
-                    plot_genome_wide_distance_map)
+                    plot_genome_wide_distance_map,
+                    remove_cap, extract_spot_crops, plot_spot_crops)
 from .render3d import (normalize_center_spots,
                        chromosome_structure_3d_rendering,
                        visualize_chromosome_3d_cloud, spots_to_density)
@@ -32,6 +33,7 @@ __all__ = ["plot_distance_map", "plot_boundaries", "plot_projection",
            "plot_decode_stats", "plot_spot_overlay",
            "plot_segmentation_labels", "plot_cell_spot_counts",
            "plot_boundary_probability", "plot_genome_wide_distance_map",
+           "remove_cap", "extract_spot_crops", "plot_spot_crops",
            "normalize_center_spots", "chromosome_structure_3d_rendering",
            "visualize_chromosome_3d_cloud", "spots_to_density",
            "SpotBrowser", "BoundaryMarker",

@@ -256,3 +256,69 @@ def plot_genome_wide_distance_map(chr_zxys_list, chr_names,
     if save_path:
         ax.figure.savefig(save_path, transparent=True)
     return ax
+
+
+def remove_cap(im: np.ndarray, cap_th_per: float = 99.5,
+               fill_nan: bool = True) -> np.ndarray:
+    """Cap the brightest pixels at a percentile — display prep for
+    saturation-heavy stacks (reference visual_tools.py:3317-3330)."""
+    out = np.asarray(im, np.float64).copy()
+    if 0 < cap_th_per < 100:
+        finite = out[np.isfinite(out)]
+        if finite.size:
+            th = np.percentile(finite, cap_th_per)
+            out[out > th] = np.nan if fill_nan else th
+    return out
+
+
+def extract_spot_crops(im: np.ndarray, centers: np.ndarray,
+                       radius: int = 10) -> np.ndarray:
+    """(N, 2r+1, 2r+1, 2r+1) crops centered on each (z,x,y); voxels
+    falling outside the image are filled with the crop median (reference
+    visual_tools.py:2615-2677 visualize_fitted_spot_crops' crop step).
+    NaN centers are skipped (dropped from the output)."""
+    im = np.asarray(im)
+    centers = np.atleast_2d(np.asarray(centers, np.float64))
+    if centers.shape[1] > 3:          # full spot rows -> zxy columns
+        centers = centers[:, 1:4]
+    centers = centers[np.all(np.isfinite(centers), axis=1)]
+    side = 2 * radius + 1
+    crops = np.empty((len(centers), side, side, side), np.float64)
+    for n, ct in enumerate(np.round(centers).astype(np.int64)):
+        lo = np.maximum(ct - radius, 0)
+        hi = np.minimum(ct + radius + 1, im.shape)
+        block = im[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]].astype(np.float64)
+        crop = np.full((side, side, side), np.median(block))
+        ins = lo - (ct - radius)
+        crop[ins[0]:ins[0] + block.shape[0],
+             ins[1]:ins[1] + block.shape[1],
+             ins[2]:ins[2] + block.shape[2]] = block
+        crops[n] = crop
+    return crops
+
+
+def plot_spot_crops(im: np.ndarray, centers: np.ndarray, radius: int = 10,
+                    axis: int = 0, n_cols: int = 8, figure_dpi: int = 150,
+                    cmap: str = "gray",
+                    save_path: Optional[str] = None):
+    """Panel grid of max-projected crops around fitted spots — the
+    fit-QC figure (reference visualize_fitted_spot_crops /
+    visualize_fitted_spot_images, visual_tools.py:2615-2712)."""
+    crops = extract_spot_crops(im, centers, radius=radius)
+    n = len(crops)
+    if n == 0:
+        return None
+    n_cols = min(n_cols, n)
+    n_rows = (n + n_cols - 1) // n_cols
+    fig, axes = plt.subplots(n_rows, n_cols,
+                             figsize=(1.2 * n_cols, 1.2 * n_rows),
+                             dpi=figure_dpi, squeeze=False)
+    for k in range(n_rows * n_cols):
+        ax = axes[k // n_cols][k % n_cols]
+        ax.set_axis_off()
+        if k < n:
+            ax.imshow(crops[k].max(axis=axis), cmap=cmap)
+    fig.tight_layout(pad=0.2)
+    if save_path:
+        fig.savefig(save_path, transparent=True)
+    return fig

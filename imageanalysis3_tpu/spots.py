@@ -92,3 +92,61 @@ class SpotTuple:
     def centroid_spot(self) -> Spots3D:
         row = np.nanmean(np.asarray(self.spots), axis=0, keepdims=True)
         return Spots3D(row, pixel_sizes=self.pixel_sizes)
+
+
+def reconstruct_spot_image(spots, image_size, use_intensity: bool = False,
+                           use_stds: bool = True,
+                           given_stds: Sequence[float] = (1.0, 1.0, 1.0),
+                           radius: int = 8,
+                           background: float = 0.0) -> np.ndarray:
+    """Render fitted spots back into a 3D image (decode/fit QC).
+
+    Behavior target: visual_tools.py:3331-3348 (reconstruct_image over
+    add_source:87-111) — sum of per-spot 3D Gaussians with the spot's own
+    (sigma_z, sigma_x, sigma_y) or a shared ``given_stds``, unit height or
+    the fitted intensity.  (The reference function builds the image but
+    falls off the end without returning it; this implements the intended
+    contract.)  One jitted pass: every spot evaluates its Gaussian on a
+    static (2*radius+1)^3 window around its rounded center and
+    scatter-adds — no per-spot Python loop, so thousands of spots render
+    in one device dispatch.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    arr = np.atleast_2d(np.asarray(spots, np.float64))
+    if arr.shape[0] == 0:
+        return np.full(tuple(int(s) for s in image_size), background,
+                       np.float32)
+    centers = arr[:, 1:4]
+    heights = arr[:, 0] if use_intensity else np.ones(len(arr))
+    stds = arr[:, 5:8] if use_stds else \
+        np.tile(np.asarray(given_stds, np.float64)[None], (len(arr), 1))
+
+    @partial(jax.jit, static_argnames=("shp", "r"))
+    def _render(shp, r, cen, hts, sig):
+        side = 2 * r + 1
+        offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-r, r + 1)] * 3),
+                                      indexing="ij"),
+                         axis=-1).reshape(-1, 3)            # (side^3, 3)
+        base = jnp.round(cen).astype(jnp.int32)             # (N, 3)
+        vox = base[:, None, :] + offs[None]                 # (N, W, 3)
+        d = vox.astype(jnp.float32) - cen[:, None, :].astype(jnp.float32)
+        val = hts[:, None].astype(jnp.float32) * jnp.exp(
+            -0.5 * jnp.sum((d / sig[:, None, :].astype(jnp.float32)) ** 2,
+                           axis=-1))
+        dims = jnp.asarray(shp, jnp.int32)
+        inb = jnp.all((vox >= 0) & (vox < dims[None, None]), axis=-1)
+        cp = jnp.clip(vox, 0, dims[None, None] - 1)
+        idx = (cp[..., 0] * shp[1] + cp[..., 1]) * shp[2] + cp[..., 2]
+        flat = jnp.zeros(shp[0] * shp[1] * shp[2], jnp.float32)
+        flat = flat.at[idx.reshape(-1)].add(
+            jnp.where(inb, val, 0.0).reshape(-1))
+        return flat.reshape(shp)
+
+    out = _render(tuple(int(s) for s in image_size), int(radius),
+                  jnp.asarray(centers, jnp.float32),
+                  jnp.asarray(heights, jnp.float32),
+                  jnp.asarray(np.maximum(stds, 1e-3), jnp.float32))
+    return np.asarray(out) + background

@@ -5,6 +5,7 @@ domain_tools/{calling,distance}.py, compartment_tools/scoring.py.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from imageanalysis3_tpu.analysis import partition as PT
@@ -381,3 +382,32 @@ def test_find_matched_starts():
     near2 = find_matched_starts([10], [9, 11], dom_sz=5,
                                 ignore_multi_match=False)
     assert near2.tolist() == [9]
+
+
+def test_winsorize_and_randomize_and_overlap():
+    """Compartment scoring controls (compartment_tools/scoring.py:18-360)."""
+    from imageanalysis3_tpu.analysis import (winsorize, randomize_index_dict,
+                                             density_overlaps)
+    s = np.concatenate([np.arange(100.0), [np.nan]])
+    w = winsorize(s, 5, 5)
+    assert np.isnan(w[-1])
+    finite = w[np.isfinite(w)]
+    assert finite.min() == pytest.approx(np.percentile(np.arange(100.0), 5))
+    assert finite.max() == pytest.approx(np.percentile(np.arange(100.0), 95))
+    wn = winsorize(s, 5, 5, normalize=True)
+    assert np.nanmin(wn) == 0.0 and np.nanmax(wn) == pytest.approx(1.0)
+
+    rng = np.random.default_rng(3)
+    d = {"A": np.arange(10), "B": np.arange(10, 25)}
+    sf = randomize_index_dict(d, rng=rng)
+    assert len(sf["A"]) == 10 and len(sf["B"]) == 15
+    np.testing.assert_array_equal(
+        np.sort(np.concatenate([sf["A"], sf["B"]])), np.arange(25))
+    with pytest.raises(KeyError):
+        randomize_index_dict({"A": [1]}, rng=rng)
+
+    # identical clouds overlap 1; disjoint clouds overlap 0
+    d1 = np.zeros((4, 4, 4)); d1[0] = 1.0
+    d2 = np.zeros((4, 4, 4)); d2[2] = 1.0
+    assert density_overlaps(d1, d1) == pytest.approx(1.0)
+    assert density_overlaps(d1, d2) == pytest.approx(0.0)

@@ -92,3 +92,28 @@ def test_filter_candidate_spots_bounds():
     spots[:, 7] = [1.5, 1.5, 1.5]
     keep = filter_candidate_spots(spots)
     assert list(keep) == [True, False, False]
+
+
+def test_reconstruct_spot_image_peaks_and_widths():
+    """reconstruct_spot_image renders each spot's own Gaussian (QC render,
+    visual_tools.py:3331-3348)."""
+    from imageanalysis3_tpu.spots import reconstruct_spot_image
+    spots = np.zeros((2, 11))
+    spots[0, :8] = [200, 5, 10, 12, 0, 1.2, 1.8, 1.8]
+    spots[1, :8] = [80, 10, 22, 6, 0, 1.0, 1.4, 1.4]
+    im = reconstruct_spot_image(spots, (16, 32, 32), use_intensity=True)
+    assert im.shape == (16, 32, 32)
+    assert np.unravel_index(im.argmax(), im.shape) == (5, 10, 12)
+    assert abs(im[5, 10, 12] - 200) < 2.0
+    assert abs(im[10, 22, 6] - 80) < 1.0
+    # width check: one sigma_x away along x drops by exp(-0.5)
+    expect = 200 * np.exp(-0.5 * (2 / 1.8) ** 2)
+    assert abs(im[5, 12, 12] - expect) < 2.0
+    # unit-height mode + shared stds
+    im2 = reconstruct_spot_image(spots, (16, 32, 32), use_stds=False,
+                                 given_stds=(1.0, 1.0, 1.0))
+    assert abs(im2[5, 10, 12] - 1.0) < 0.05
+    # empty input renders background only
+    bg = reconstruct_spot_image(np.zeros((0, 11)), (4, 4, 4),
+                                background=7.0)
+    assert np.all(bg == 7.0)

@@ -155,3 +155,33 @@ def test_normalize_color_clips_and_scales():
     assert out[0, 0] == 0.0 and out[1, 0] == 1.0
     assert abs(out[0, 1] - 0.5) < 1e-9
     assert np.isnan(out[1, 1])
+
+
+def test_remove_cap_and_spot_crops(tmp_path):
+    """Display cap + fitted-spot QC panels (visual_tools.py:2615-2712,
+    3317-3330)."""
+    from imageanalysis3_tpu.figures import (remove_cap, extract_spot_crops,
+                                            plot_spot_crops)
+    rng = np.random.default_rng(11)
+    im = rng.normal(100, 5, size=(12, 40, 40))
+    im[3, 7, 9] = 10000.0
+    capped = remove_cap(im, 99.5)
+    assert np.isnan(capped[3, 7, 9])
+    capped2 = remove_cap(im, 99.5, fill_nan=False)
+    assert capped2[3, 7, 9] <= np.percentile(im, 99.6)
+
+    centers = np.array([[5.2, 10.4, 20.1],
+                        [1.0, 2.0, 38.0],       # clipped at borders
+                        [np.nan, 3.0, 3.0]])    # dropped
+    crops = extract_spot_crops(im, centers, radius=4)
+    assert crops.shape == (2, 9, 9, 9)
+    np.testing.assert_allclose(crops[0][4, 4, 4], im[5, 10, 20])
+    # border crop: out-of-image voxels filled with the block median
+    assert np.isfinite(crops[1]).all()
+
+    fig = plot_spot_crops(im, centers, radius=4,
+                          save_path=str(tmp_path / "crops.png"))
+    assert (tmp_path / "crops.png").exists()
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+    assert plot_spot_crops(im, np.full((1, 3), np.nan)) is None
