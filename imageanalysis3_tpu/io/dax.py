@@ -374,21 +374,30 @@ def read_channel_crops(filename: str,
             zstep=n_colors, zstarts=s % n_colors, meta=meta)
         crops.append(crop)
     if d.any():
-        from ..ops.warp import trilinear_map_coordinates
-        import jax.numpy as jnp
         # output voxel (z,x,y) in corrected-frame coords lims[:,0]+idx
         # samples the raw image at -drift (repo convention, see above),
         # expressed in read-window coords
         offs = lims[:, 0] - read_lims[:, 0] - d
-        axes = [jnp.arange(int(lims[ax, 1] - lims[ax, 0]), dtype=jnp.float32)
-                + jnp.float32(offs[ax]) for ax in range(3)]
-        zz, xx, yy = jnp.meshgrid(*axes, indexing="ij")
-        crops = [np.asarray(trilinear_map_coordinates(
-            jnp.asarray(c, jnp.float32), jnp.stack([zz, xx, yy])))
-            for c in crops]
+        shape = tuple(int(lims[ax, 1] - lims[ax, 0]) for ax in range(3))
+        crops = [resample_window(c, offs, shape) for c in crops]
     if return_limits:
         return crops, lims
     return crops
+
+
+def resample_window(crop: np.ndarray, start_offsets: Sequence[float],
+                    out_shape: Sequence[int]) -> np.ndarray:
+    """Trilinear-resample a window: output voxel ``idx`` samples ``crop``
+    at ``idx + start_offsets`` (edge-clamped), on device.  The shift step
+    shared by :func:`read_channel_crops` and the driver's disk-crop
+    loader."""
+    from ..ops.warp import trilinear_map_coordinates
+    import jax.numpy as jnp
+    axes = [jnp.arange(int(n), dtype=jnp.float32) + jnp.float32(o)
+            for n, o in zip(out_shape, start_offsets)]
+    zz, xx, yy = jnp.meshgrid(*axes, indexing="ij")
+    return np.asarray(trilinear_map_coordinates(
+        jnp.asarray(crop, jnp.float32), jnp.stack([zz, xx, yy])))
 
 
 def remove_dax_channels(source_filename: str,

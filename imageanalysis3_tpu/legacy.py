@@ -138,6 +138,28 @@ class CellData:
                            f"driver with save_images=True")
         return out
 
+    @staticmethod
+    def _crop_images_from_disk(driver, fov_name: str, data_type: str,
+                               segmentation_labels: np.ndarray,
+                               cell_id: int, extend_dim: int = 20,
+                               region_ids=None) -> Dict[int, np.ndarray]:
+        """Disk variant of :meth:`_crop_images` for runs without stored
+        corrected images: window-read each region's raw movie around this
+        cell's bounding box and drift-correct the crop
+        (ExperimentDriver.load_region_crops; reference Cell_Data
+        _crop_images raw path, classes/__init__.py:2780-2962)."""
+        mask = np.asarray(segmentation_labels) == int(cell_id)
+        if not mask.any():
+            raise ValueError(f"cell {cell_id} absent from segmentation")
+        xy = mask.any(axis=0)
+        xs, ys = np.where(xy)
+        lims = [[max(int(xs.min()) - extend_dim, 0),
+                 int(xs.max()) + 1 + extend_dim],
+                [max(int(ys.min()) - extend_dim, 0),
+                 int(ys.max()) + 1 + extend_dim]]
+        return driver.load_region_crops(fov_name, lims, data_type,
+                                        region_ids=region_ids)
+
     # -- RNA -> DNA merge (reference _merge_RNA_to_DNA, :4274-4327) --------
 
     def _merge_RNA_to_DNA(self, source: "CellData",

@@ -676,3 +676,73 @@ class ExperimentDriver:
                                   expected_per_nucleus=expected_per_nucleus)
                 store.save_signal("chrom_labels", labels)
         return coords, labels, counts
+
+    def load_region_crops(self, fov_name: str, crop_limits,
+                          data_type: str,
+                          region_ids: Optional[Sequence[int]] = None,
+                          correct_illumination: bool = True
+                          ) -> Dict[int, np.ndarray]:
+        """Per-region crops loaded straight from the raw .dax files —
+        without reading any full FOV stack.
+
+        The disk side of Cell_Data._crop_images
+        (classes/__init__.py:2780-2962) for runs without
+        ``save_images=True``: for each requested region, read only the
+        drift-expanded crop window of its round's movie
+        (io.read_channel_crops), flat-field the window against the
+        channel's illumination profile slice, and resample onto the
+        drift-corrected grid using the drift persisted by
+        :meth:`process_fov`.  Quick-correction semantics (hot-pixel,
+        z-shift and bleedthrough are full-stack statistics and are NOT
+        applied — matching the reference's cropped quick path,
+        classes/batch_functions.py:60-302 correction subset on crops).
+
+        ``crop_limits``: 2x2 (x/y, full z) or 3x2 (z/x/y) in corrected-
+        frame pixels.  Returns {region_id: (dz, dx, dy) float32 crop}.
+        """
+        from ..io.dax import (_normalize_crop_limits, read_channel_crops,
+                              resample_window)
+
+        size = tuple(int(s) for s in self.cfg.image_size)
+        lims = _normalize_crop_limits(crop_limits, size)
+        out: Dict[int, np.ndarray] = {}
+        with FovStore(self.store_path(fov_name)) as store:
+            g = store._fh[data_type]
+            ids = list(g["ids"][:])
+            drifts = g["drifts"][:]
+            for plan in self._plans:
+                wanted = [(ci, rid) for ci, (dt, rid) in
+                          zip(plan.fit_channel_indices, plan.regions)
+                          if dt == data_type and rid in ids and
+                          (region_ids is None or rid in set(region_ids))]
+                if not wanted:
+                    continue
+                pipe = self._pipeline_for(plan)
+                path = os.path.join(plan.folder, fov_name)
+                for ci, rid in wanted:
+                    d = np.asarray(drifts[ids.index(rid)], np.float64)
+                    pad = np.ceil(np.abs(d)).astype(np.int64)
+                    read_lims = np.stack(
+                        [np.maximum(lims[:, 0] - pad, 0),
+                         np.minimum(lims[:, 1] + pad, size)], axis=1)
+                    (raw,) = read_channel_crops(
+                        path, [plan.channels[ci]], read_lims,
+                        all_channels=self.color_usage.channels,
+                        n_z=size[0],
+                        buffer_frames=self.cfg.num_buffer_frames,
+                        empty_frames=self.cfg.num_empty_frames)
+                    crop = raw.astype(np.float32)
+                    if (correct_illumination
+                            and pipe.illumination is not None
+                            and self.cfg.correction.illumination):
+                        prof = np.asarray(pipe.illumination[ci])[
+                            read_lims[1, 0]:read_lims[1, 1],
+                            read_lims[2, 0]:read_lims[2, 1]]
+                        crop = crop / prof[None]
+                    offs = lims[:, 0] - read_lims[:, 0] - d
+                    shape = tuple(int(lims[a, 1] - lims[a, 0])
+                                  for a in range(3))
+                    if np.any(offs != 0) or crop.shape != shape:
+                        crop = resample_window(crop, offs, shape)
+                    out[int(rid)] = crop
+        return out

@@ -312,3 +312,71 @@ def test_async_and_sync_writes_produce_identical_stores(experiment,
         assert set(ga.keys()) == set(gs.keys())
         for k in ga.keys():
             np.testing.assert_array_equal(ga[k][:], gs[k][:], err_msg=k)
+
+
+def test_load_region_crops_matches_stored_images(experiment, tmp_path):
+    """Disk-crop loads (windowed read + drift resample) must reproduce the
+    drift-warped stored corrected images on the crop window (the
+    save_images=False side of Cell_Data._crop_images)."""
+    import jax.numpy as jnp
+    from imageanalysis3_tpu.ops.warp import warp_image_drift
+
+    root, truth = experiment
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        correction=CorrectionConfig(illumination=False, hot_pixel=False,
+                                    z_shift=False),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=4, lm_iters=20),
+        num_buffer_frames=4,
+    )
+    drv = ExperimentDriver(str(root), str(tmp_path / "save_crops"),
+                           cfg=cfg, save_images=True)
+    drv.process_fov("Conv_zscan_00.dax")
+
+    lims = [[2, 10], [30, 90], [24, 100]]
+    crops = drv.load_region_crops("Conv_zscan_00.dax", lims, "unique")
+    assert len(crops) == 6
+
+    with FovStore(drv.store_path("Conv_zscan_00.dax"), "r") as store:
+        g_ids = list(store._fh["unique"]["ids"][:])
+        for rid, crop in crops.items():
+            assert crop.shape == (8, 60, 76)
+            i = g_ids.index(rid)
+            stored = store._fh["unique"]["ims"][i].astype(np.float32)
+            drift = store._fh["unique"]["drifts"][i]
+            warped = np.asarray(warp_image_drift(jnp.asarray(stored),
+                                                 jnp.asarray(drift)))
+            ref = warped[2:10, 30:90, 24:100]
+            # stored ims are rounded to uint16 after correction; the crop
+            # path stays float — allow the quantization plus interp noise
+            assert np.median(np.abs(crop - ref)) < 1.0
+            np.testing.assert_allclose(crop, ref, atol=6.0)
+
+    # 2x2 limits take the full z range; explicit region subset honored
+    sub = drv.load_region_crops("Conv_zscan_00.dax", [[30, 90], [24, 100]],
+                                "unique", region_ids=[g_ids[0]])
+    assert list(sub) == [int(g_ids[0])]
+    assert sub[int(g_ids[0])].shape == (12, 60, 76)
+
+
+def test_crop_images_from_disk_cell_bbox(experiment, tmp_path):
+    """Legacy CellData._crop_images_from_disk crops every region to the
+    cell's extended bounding box via the windowed disk loader."""
+    from imageanalysis3_tpu.legacy import CellData
+
+    root, truth = experiment
+    drv = _driver(root, tmp_path)
+    drv.process_fov("Conv_zscan_00.dax")
+
+    labels = np.zeros(SHAPE, np.int32)
+    labels[:, 40:60, 50:80] = 3
+    crops = CellData._crop_images_from_disk(
+        drv, "Conv_zscan_00.dax", "unique", labels, 3, extend_dim=10)
+    assert len(crops) == 6
+    for crop in crops.values():
+        assert crop.shape == (SHAPE[0], 40, 50)
+    with pytest.raises(ValueError):
+        CellData._crop_images_from_disk(
+            drv, "Conv_zscan_00.dax", "unique", labels, 99)
