@@ -857,7 +857,11 @@ def fused_seed_classify_pyramid(im: jnp.ndarray, sigma_fg: float,
     bxe = block_x + 8
     bxs = block_x // 4
     xs, ys = x // 4, y // 4
-    ys_buf = ys + 128
+    # pooled-bg buffer last dim must be a 128 multiple or its per-plane
+    # DMA slice violates Mosaic's (8,128) tiling (y=2048 gives 640 and is
+    # naturally aligned; y=128 gives 160 and is not).  The extra columns
+    # are edge-padding multiplied by zero upsample weights.
+    ys_buf = -((ys + 128) // -128) * 128
 
     imf = im.astype(jnp.float32)
     imp = jnp.pad(imf, ((0, 0), (40, 40), (64, 64)), mode="symmetric")

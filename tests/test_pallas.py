@@ -3,6 +3,7 @@
 the v5e chip — see ops/pallas_kernels.py docstring)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from imageanalysis3_tpu.ops.pallas_kernels import level_stencil_pallas
@@ -159,3 +160,27 @@ def test_get_seeds_pyramid_matches_default_on_planted_spots():
     c1 = np.asarray(s1.coords)[np.asarray(s1.valid)]
     assert len(c0) == len(c1)
     np.testing.assert_array_equal(np.sort(c0, axis=0), np.sort(c1, axis=0))
+
+
+@pytest.mark.parametrize("shape", [(8, 128, 128), (8, 64, 256),
+                                   (6, 32, 384)])
+def test_pyramid_classify_buffer_alignment_shapes(shape):
+    """The pooled-background buffer width (ys/4 + 128 rounded up to a 128
+    multiple) must keep selections identical to the exact path at every
+    128-multiple y — not just y % 512 == 0 (the Mosaic DMA tiling
+    regression behind the y=160-slice compile failure)."""
+    from imageanalysis3_tpu import synthetic as syn
+    from imageanalysis3_tpu.ops.pallas_kernels import (
+        fused_seed_classify, fused_seed_classify_pyramid)
+
+    rng = np.random.default_rng(5)
+    im, _ = syn.random_spot_field(shape, 10, rng)
+    im = jnp.asarray(im.astype(np.float32))
+    q_e, _ = fused_seed_classify(im, 0.75, 7.5, 300.0, 8,
+                                 min_edge_distance=2, interpret=True)
+    q_p, _ = fused_seed_classify_pyramid(im, 0.75, 7.5, 300.0, 8,
+                                         min_edge_distance=2,
+                                         interpret=True)
+    sel_e = np.isfinite(np.asarray(q_e)) & (np.asarray(q_e) >= 300.0)
+    sel_p = np.isfinite(np.asarray(q_p)) & (np.asarray(q_p) >= 300.0)
+    np.testing.assert_array_equal(sel_e, sel_p)
