@@ -188,6 +188,10 @@ def main():
             "stage_seconds": breakdown,
             "n_valid_spots": n_valid,
             "median_centroid_err_px": round(med_err, 5),
+            # on-device accuracy bound (advisor r3: the TPU-only einsum
+            # precision tradeoff is invisible to the CPU test suite, so
+            # the chip bench carries the check): must stay within 0.02 px
+            "accuracy_ok": bool(med_err <= 0.02),
             "n_devices": len(jax.devices()),
             "device": str(jax.devices()[0]),
         },
