@@ -746,3 +746,46 @@ class ExperimentDriver:
                         crop = resample_window(crop, offs, shape)
                     out[int(rid)] = crop
         return out
+
+    def select_chromosomes_by_spots(self, fov_name: str,
+                                    data_type: str = "unique",
+                                    cand_spot_intensity_th: float = 0.5,
+                                    good_chr_loss_th: float = 0.4,
+                                    save: bool = True) -> np.ndarray:
+        """Screen this FOV's candidate chromosome centers by fitted-spot
+        support and persist the survivors.
+
+        Behavior target: _select_chromosome_by_candidate_spots
+        (classes/field_of_view.py:2273-2341): candidates come from
+        :meth:`identify_chromosomes` (`chrom_coords` signal), spots from
+        every processed region of ``data_type``; chromosomes losing more
+        than ``good_chr_loss_th`` of rounds are iteratively removed
+        (segmentation.select_candidate_chromosomes).  Intensities are
+        normalized by their median before the threshold, matching the
+        reference's normalized-intensity screen.
+        """
+        from ..segmentation.chromosome import select_candidate_chromosomes
+
+        with FovStore(self.store_path(fov_name)) as store:
+            cands = store.load_signal("chrom_coords")
+            if cands is None:
+                raise RuntimeError("no chrom_coords in store; run "
+                                   "identify_chromosomes first")
+            spots_by_region = store.load_all_spots(data_type)
+            spots_list = []
+            for rid in sorted(spots_by_region):
+                s = np.asarray(spots_by_region[rid], np.float64).copy()
+                if len(s):
+                    med = np.median(s[:, 0])
+                    if med > 0:
+                        s[:, 0] = s[:, 0] / med
+                spots_list.append(s)
+            coords, kept = select_candidate_chromosomes(
+                np.asarray(cands, np.float64), spots_list,
+                cand_spot_intensity_th=cand_spot_intensity_th,
+                good_chr_loss_th=good_chr_loss_th)
+            if save:
+                store.save_signal("chrom_coords", coords,
+                                  screened_by=data_type,
+                                  n_candidates=int(len(kept)))
+        return coords

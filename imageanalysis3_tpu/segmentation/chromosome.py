@@ -103,3 +103,74 @@ def find_candidate_chromosomes(chrom_im: jnp.ndarray,
         keep[kept] = True
         counts[int(l)] = len(kept)
     return coords[keep], labels[keep], counts
+
+
+def select_candidate_chromosomes(cand_chrom_coords: np.ndarray,
+                                 spots_list,
+                                 cand_spot_intensity_th: float = 0.5,
+                                 good_chr_loss_th: float = 0.4
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Screen candidate chromosome centers by decoded-spot support.
+
+    Behavior target: select_candidate_chromosomes
+    (segmentation_tools/chromosome.py:363-408, driven by
+    classes/field_of_view.py:2273-2341): assign each round's
+    intensity-screened spots to their nearest remaining chromosome; a
+    chromosome's loss is the fraction of rounds that assigned it ZERO
+    spots; repeatedly remove the single worst chromosome while any loss
+    exceeds ``good_chr_loss_th`` (spots re-assign to the survivors each
+    iteration).
+
+    TPU-first shape: the spot->chromosome distance matrix is computed
+    ONCE on device for all candidates; each removal round is then an
+    argmin over the shrinking active set of that fixed matrix (the
+    reference recomputes all assignments per removal).
+
+    ``spots_list``: per-round spot arrays, reference layout
+    (height, z, x, y, ...).  Returns (selected coords, kept-index mask
+    into the input candidates).
+    """
+    coords = np.atleast_2d(np.asarray(cand_chrom_coords, np.float64))
+    n_chr = len(coords)
+    if n_chr == 0:
+        return coords, np.zeros(0, bool)
+    rounds = []
+    for spots in spots_list:
+        s = np.atleast_2d(np.asarray(spots, np.float64))
+        if s.size == 0:
+            rounds.append(np.zeros((0, 3)))
+            continue
+        rounds.append(s[s[:, 0] >= cand_spot_intensity_th][:, 1:4])
+    n_rounds = len(rounds)
+    if n_rounds == 0:
+        return coords, np.ones(n_chr, bool)
+    # one device pass: distances of every screened spot to every candidate
+    flat = np.concatenate([r for r in rounds], axis=0) \
+        if any(len(r) for r in rounds) else np.zeros((0, 3))
+    round_of = np.concatenate([np.full(len(r), k) for k, r in
+                               enumerate(rounds)]) \
+        if len(flat) else np.zeros(0, int)
+    if len(flat):
+        d = np.asarray(jnp.linalg.norm(
+            jnp.asarray(flat, jnp.float32)[:, None]
+            - jnp.asarray(coords, jnp.float32)[None], axis=-1))
+    else:
+        d = np.zeros((0, n_chr), np.float32)
+
+    active = np.ones(n_chr, bool)
+    while active.any():
+        if len(flat):
+            dm = np.where(active[None, :], d, np.inf)
+            assign = np.argmin(dm, axis=1)
+            # has_spot[k, r]: round r assigned >= 1 spot to chromosome k
+            has_spot = np.zeros((n_chr, n_rounds), bool)
+            has_spot[assign, round_of] = True
+            loss = 1.0 - has_spot.mean(axis=1)
+        else:
+            loss = np.ones(n_chr)
+        loss[~active] = -1.0
+        worst = int(np.argmax(loss))
+        if loss[worst] <= good_chr_loss_th:
+            break
+        active[worst] = False
+    return coords[active], active

@@ -186,3 +186,30 @@ def test_chromosome_image_from_data_and_identify(processed):
         assert np.linalg.norm(all_truth - c, axis=1).min() < 1.5
     with FovStore(drv.store_path("Conv_zscan_00.dax"), "r") as store:
         assert store.load_signal("chrom_coords") is not None
+
+
+def test_select_chromosomes_by_spots_keeps_supported(processed):
+    """After identify_chromosomes, spot-support screening keeps all real
+    candidates (every one is a planted spot with support in every round)
+    and persists the screened set; a candidate that is forced to lose
+    every round via an impossible intensity threshold is removed
+    (reference _select_chromosome_by_candidate_spots; removal mechanics
+    unit-tested in tests/test_segmentation.py)."""
+    drv, truth = processed
+    coords0, _, _ = drv.identify_chromosomes("Conv_zscan_00.dax",
+                                             expected_per_nucleus=4)
+    coords = drv.select_chromosomes_by_spots("Conv_zscan_00.dax",
+                                             data_type="unique",
+                                             cand_spot_intensity_th=0.2,
+                                             good_chr_loss_th=0.5)
+    assert len(coords) == len(coords0)       # all real candidates survive
+    with FovStore(drv.store_path("Conv_zscan_00.dax"), "r") as store:
+        np.testing.assert_allclose(store.load_signal("chrom_coords"),
+                                   coords)
+    # an impossible intensity threshold starves every candidate -> all
+    # are removed (the degenerate all-lost case degrades cleanly)
+    none = drv.select_chromosomes_by_spots("Conv_zscan_00.dax",
+                                           cand_spot_intensity_th=1e9,
+                                           good_chr_loss_th=0.5,
+                                           save=False)
+    assert len(none) == 0

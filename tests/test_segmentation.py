@@ -377,3 +377,41 @@ def test_label_bboxes_match_bruteforce():
         assert sizes[l] == pos.shape[1]
         assert (mins[l] == pos.min(1)).all()
         assert (maxs[l] == pos.max(1)).all()
+
+
+def test_select_candidate_chromosomes_removes_unsupported():
+    """Iterative loss-based screening (segmentation_tools/chromosome.py:
+    363-408): a candidate with no nearby spots in most rounds is removed,
+    and its spots re-assign to the survivors."""
+    from imageanalysis3_tpu.segmentation import select_candidate_chromosomes
+
+    rng = np.random.default_rng(4)
+    good = np.array([[5.0, 20.0, 20.0], [5.0, 60.0, 60.0]])
+    bad = np.array([[5.0, 40.0, 40.0]])     # between the two good ones
+    cands = np.concatenate([good, bad])
+
+    def round_spots(miss_bad):
+        rows = []
+        for c in good:
+            rows.append([1.0, *(c + rng.normal(0, 0.5, 3))])
+        if not miss_bad:
+            rows.append([1.0, *(bad[0] + rng.normal(0, 0.5, 3))])
+        rows.append([0.1, *(bad[0])])        # below intensity threshold
+        return np.asarray(rows)
+
+    # bad candidate has spots in only 4 of 10 rounds -> loss 0.6 > 0.4
+    spots_list = [round_spots(miss_bad=(k % 5 != 0)) for k in range(10)]
+    sel, kept = select_candidate_chromosomes(
+        cands, spots_list, cand_spot_intensity_th=0.5,
+        good_chr_loss_th=0.4)
+    assert kept.tolist() == [True, True, False]
+    np.testing.assert_array_equal(sel, good)
+
+    # with a permissive loss threshold everything survives
+    _, kept_all = select_candidate_chromosomes(
+        cands, spots_list, good_chr_loss_th=0.95)
+    assert kept_all.all()
+
+    # empty candidates / empty rounds degenerate cleanly
+    sel0, kept0 = select_candidate_chromosomes(np.zeros((0, 3)), spots_list)
+    assert len(sel0) == 0 and len(kept0) == 0
