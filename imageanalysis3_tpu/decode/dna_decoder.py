@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Tuple
 
+import jax
 import numpy as np
 import pandas as pd
 
@@ -60,12 +61,21 @@ class DNAMerfishDecoder:
         None when the cell has too few candidates (reference keep_ratio
         gate, decode.py:2158-2160).
         """
+        import time as _time
+
         spots = np.asarray(spots, np.float32)
         min_needed = (self.num_homologs * self.codebook.matrix.sum()
                       * self.keep_ratio_th)
         if len(spots) < min_needed:
             return None
+        t0 = _time.perf_counter()
         groups = self.decoder.decode(spots, bits)
+        jax.block_until_ready(groups.ok)
+        #: per-stage wall times (SURVEY §5 structured timing record):
+        #: `tuples` = pair search + select + tuple completion,
+        #: `homolog` = all per-chromosome E/M assignments
+        self.stage_seconds = {"tuples": _time.perf_counter() - t0}
+        t0 = _time.perf_counter()
         self.spot_groups = groups
         ok = np.asarray(groups.ok)
         regions = np.asarray(groups.region)
@@ -86,6 +96,7 @@ class DNAMerfishDecoder:
                 sub, spots, regions[sel],
                 pixel_size_nm=self.pixel_sizes,
                 n_homologs=self.num_homologs, **assign_kwargs)
+        self.stage_seconds["homolog"] = _time.perf_counter() - t0
         self.chr_2_homologs = out
         return out
 

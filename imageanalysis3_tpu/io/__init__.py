@@ -17,7 +17,7 @@ from .store import (FovStore, AsyncFovWriter, FLAG_EMPTY, FLAG_RAW,
 from .crop import ImageCrop3D, generate_neighboring_crop
 from .profiles_io import load_correction_profile, save_correction_profile
 from .microscope import (read_microscope_json, microscope_correct_image,
-                         microscope_translate_spots)
+                         microscope_translate_spots, load_position_file)
 from .spots import (spots_to_dataframe, dataframe_to_cand_spots,
                     spot_groups_to_dataframe, dataframe_to_spot_groups,
                     save_dataframe_hdf5, load_dataframe_hdf5,
@@ -39,7 +39,7 @@ __all__ = [
     "FLAG_CORRECTED",
     "ImageCrop3D", "generate_neighboring_crop",
     "load_correction_profile", "save_correction_profile",
-    "read_microscope_json", "microscope_correct_image",
+    "read_microscope_json", "microscope_correct_image", "load_position_file",
     "microscope_translate_spots",
     "spots_to_dataframe", "dataframe_to_cand_spots",
     "spot_groups_to_dataframe", "dataframe_to_spot_groups",

@@ -248,6 +248,85 @@ def split_channels(movie: np.ndarray,
             for s in starts]
 
 
+@dataclass(frozen=True)
+class RawFrameWindow:
+    """Layout of the contiguous raw-frame window one round needs.
+
+    The device-deinterleave input mode (SURVEY §7 host-I/O gate): the
+    host does ONE sequential pread of frames [first_frame,
+    first_frame + n_frames) — skipping leading/trailing buffer frames —
+    and the per-channel de-interleave happens on device as strided
+    slices at ``rel_starts`` with stride ``n_colors``
+    (ops.corrections.deinterleave_stack).  Host work collapses to a raw
+    read; reference semantics io_tools/load.py:524-550 are preserved by
+    construction (same start arithmetic as :func:`channel_start_frames`).
+
+    Note: the window spans ALL interleaved colors between the first and
+    last needed frame, so with a strict channel subset it reads more
+    bytes than the selective native loader — the tradeoff is zero host
+    de-interleave CPU and a purely sequential read.
+    """
+
+    first_frame: int
+    n_frames: int
+    rel_starts: Tuple[int, ...]   # per-selected-channel start, window-relative
+    n_colors: int
+    n_z: int
+
+
+def raw_frame_window(sel_channels, all_channels, n_z: int = 30,
+                     buffer_frames: int = 10, empty_frames: int = 0,
+                     skip_frame0: bool = False) -> RawFrameWindow:
+    """Compute the contiguous frame window covering every selected
+    channel's ``n_z`` interleaved frames (static metadata for the
+    device-deinterleave program; see :class:`RawFrameWindow`)."""
+    starts, n_colors = channel_start_frames(
+        sel_channels, all_channels, buffer_frames=buffer_frames,
+        empty_frames=empty_frames, skip_frame0=skip_frame0)
+    lo = min(starts)
+    hi = max(s + (n_z - 1) * n_colors for s in starts) + 1
+    return RawFrameWindow(first_frame=lo, n_frames=hi - lo,
+                          rel_starts=tuple(s - lo for s in starts),
+                          n_colors=n_colors, n_z=n_z)
+
+
+def read_raw_window(filename: str, window: RawFrameWindow,
+                    meta: Optional[DaxMetadata] = None,
+                    out: Optional[np.ndarray] = None) -> np.ndarray:
+    """One sequential pread of ``window``'s frames -> (F, H, W) uint16.
+
+    The host floor of the input pipeline: no de-interleave, no per-frame
+    scatter — a single ``readinto`` at a file offset into a reusable
+    staging buffer.  Device code de-interleaves
+    (ops.corrections.deinterleave_stack).  Big-endian movies are
+    byteswapped in place on the host (rare; production cameras write
+    little-endian)."""
+    if meta is None:
+        meta = read_inf(filename)
+    h, w = meta.frame_shape
+    shape = (window.n_frames, h, w)
+    need = window.first_frame + window.n_frames
+    if need > meta.number_frames:
+        raise ValueError(f"movie has {meta.number_frames} frames; "
+                         f"window needs {need}")
+    if out is None:
+        out = np.empty(shape, np.uint16)
+    elif out.shape != shape or out.dtype != np.uint16 \
+            or not out.flags.c_contiguous:
+        raise ValueError(f"out buffer {out.shape}/{out.dtype} does not "
+                         f"match C-contiguous {shape} uint16")
+    frame_bytes = h * w * 2
+    with open(filename, "rb") as fh:
+        fh.seek(window.first_frame * frame_bytes)
+        n = fh.readinto(memoryview(out).cast("B"))
+    if n != out.nbytes:
+        raise ValueError(f"short read: {n} of {out.nbytes} bytes "
+                         f"from {filename}")
+    if meta.big_endian:
+        out.byteswap(inplace=True)
+    return out
+
+
 def read_dax_window(filename: str,
                     zlims: Sequence[int],
                     xlims: Optional[Sequence[int]] = None,

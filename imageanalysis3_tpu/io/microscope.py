@@ -25,6 +25,19 @@ def read_microscope_json(path: str) -> Dict:
         return json.load(fh)
 
 
+def load_position_file(path: str) -> np.ndarray:
+    """Stage-position file (comma-delimited `x,y` per line, the
+    acquisition software's positions.txt) -> (N, 2) float array
+    (reference meta_tools/global_alignments.py:4-9 Load_PositionFile;
+    the reference returns a two-column DataFrame — downstream consumers
+    index columns x/y positionally, which the array preserves)."""
+    out = np.loadtxt(path, delimiter=",", dtype=np.float64, ndmin=2)
+    if out.shape[1] != 2:
+        raise ValueError(f"position file {path} has {out.shape[1]} "
+                         "columns, expected x,y")
+    return out
+
+
 def microscope_correct_image(image: np.ndarray,
                              params: Dict) -> np.ndarray:
     """Apply transpose / horizontal / vertical flips to a (Z, X, Y) or

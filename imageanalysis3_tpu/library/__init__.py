@@ -16,6 +16,8 @@ from .readouts import (extend_readout, filter_readout, search_candidates,
                        split_readouts_into_channels, generate_adaptors)
 from .reports import (ProbeDesigner, MapSpec, select_primer_pair,
                       check_library, parse_probe_sequence)
+from .encoding import (convert_bits_to_matrix, calculate_closest_overlap,
+                       write_fasta)
 
 __all__ = [
     "seq2int", "seq2int_rc", "seq_to_kmer_ints", "count_kmers_dense",
@@ -33,4 +35,5 @@ __all__ = [
     "generate_adaptors",
     "ProbeDesigner", "MapSpec", "select_primer_pair", "check_library",
     "parse_probe_sequence",
+    "convert_bits_to_matrix", "calculate_closest_overlap", "write_fasta",
 ]

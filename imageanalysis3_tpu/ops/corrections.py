@@ -32,6 +32,25 @@ from .filters import (counting_median, counting_median_layers_and_global,
                       gaussian_highpass)
 
 
+@partial(jax.jit, static_argnames=("rel_starts", "n_colors", "n_z"))
+def deinterleave_stack(raw: jnp.ndarray, rel_starts: tuple,
+                       n_colors: int, n_z: int) -> jnp.ndarray:
+    """De-interleave a raw frame window on device -> (C, Z, H, W).
+
+    Device half of the raw-pread input mode (io.dax.raw_frame_window /
+    read_raw_window): the host uploads the contiguous interleaved frame
+    block untouched, and channel c's z-stack is the static strided slice
+    ``raw[rel_starts[c] :: n_colors][:n_z]`` — same layout arithmetic as
+    the host `split_channels` (reference io_tools/load.py:524-550),
+    executed as XLA strided slices that fuse into the consuming
+    correction pass.  Host input work collapses to a sequential read.
+    """
+    return jnp.stack([
+        jax.lax.slice_in_dim(raw, s, s + (n_z - 1) * n_colors + 1,
+                             stride=n_colors)
+        for s in rel_starts])
+
+
 @partial(jax.jit, static_argnames=("hot_pix_th", "hot_th"))
 def remove_hot_pixels(im: jnp.ndarray, hot_pix_th: float = 0.5,
                       hot_th: float = 4.0) -> jnp.ndarray:

@@ -74,6 +74,17 @@ class RoundPlan:
 
 
 @dataclass
+class RawRound:
+    """One round's raw interleaved frame window (device-deinterleave
+    input mode): `block` is the (F, H, W) uint16 pread result, `window`
+    the static layout (io.dax.RawFrameWindow) the device program slices
+    channels out with."""
+
+    block: np.ndarray
+    window: object
+
+
+@dataclass
 class StageTimes:
     """Structured per-stage timing record (SURVEY §5: replaces the
     reference's `verbose` wall-time prints)."""
@@ -119,7 +130,8 @@ class ExperimentDriver:
                  save_images: bool = False,
                  sequential_drift: bool = False,
                  correction_folder: Optional[str] = None,
-                 async_writes: bool = True):
+                 async_writes: bool = True,
+                 device_deinterleave: bool = False):
         self.data_folder = data_folder
         self.save_folder = save_folder
         os.makedirs(save_folder, exist_ok=True)
@@ -150,6 +162,13 @@ class ExperimentDriver:
         #: style async-writer replacement for the reference's RLocked
         #: synchronous saves (SURVEY §2.11/§5)
         self.async_writes = bool(async_writes)
+        #: raw-pread input mode: the host reads each round's contiguous
+        #: interleaved frame window with ONE sequential pread and the
+        #: channel de-interleave runs on device inside the round program
+        #: (io.dax.raw_frame_window + ops.corrections.deinterleave_stack).
+        #: Makes the host input path structurally device-bound — host
+        #: work per round is a raw read, independent of core count.
+        self.device_deinterleave = bool(device_deinterleave)
         self._pipelines: Dict[Tuple, FovPipeline] = {}
         self.timings = StageTimes()
         self._plans = self._build_plans()
@@ -293,24 +312,61 @@ class ExperimentDriver:
         base = os.path.splitext(fov_name)[0]
         return os.path.join(self.save_folder, base + ".hdf5")
 
-    def _load_round(self, plan: RoundPlan, fov_name: str) -> np.ndarray:
-        """Read + de-interleave one round's .dax -> (C, Z, X, Y) uint16.
+    def _load_round(self, plan: RoundPlan, fov_name: str):
+        """Read one round's .dax.
 
-        Uses the native fused loader (io/native/daxload.cpp: parallel
+        Default: native fused loader (io/native/daxload.cpp: parallel
         pread of each frame straight into its channel slot, one pass)
-        with a transparent NumPy fallback."""
+        -> (C, Z, X, Y) uint16, with a transparent NumPy fallback.
+
+        With ``device_deinterleave``: ONE sequential pread of the raw
+        interleaved frame window -> :class:`RawRound`; de-interleave
+        happens on device inside the round program."""
         from ..io.native_loader import load_dax_channels
 
         t0 = time.perf_counter()
         path = os.path.join(plan.folder, fov_name)
-        out = load_dax_channels(
-            path, plan.channels, self.color_usage.channels,
-            n_z=self.cfg.image_size[0],
-            buffer_frames=self.cfg.num_buffer_frames,
-            empty_frames=self.cfg.num_empty_frames)
+        if self.device_deinterleave:
+            from ..io.dax import raw_frame_window, read_raw_window
+            window = raw_frame_window(
+                plan.channels, self.color_usage.channels,
+                n_z=self.cfg.image_size[0],
+                buffer_frames=self.cfg.num_buffer_frames,
+                empty_frames=self.cfg.num_empty_frames)
+            out = RawRound(block=read_raw_window(path, window),
+                           window=window)
+        else:
+            out = load_dax_channels(
+                path, plan.channels, self.color_usage.channels,
+                n_z=self.cfg.image_size[0],
+                buffer_frames=self.cfg.num_buffer_frames,
+                empty_frames=self.cfg.num_empty_frames)
         self.timings.add("load_dax", time.perf_counter() - t0,
                          folder=self._folder_key(plan.folder))
         return out
+
+    @staticmethod
+    def _to_stack(ims):
+        """RawRound -> device (C, Z, X, Y) via on-device de-interleave;
+        channel-stack arrays pass through (for consumers that need the
+        full stack: reference correction, save_images, sequential mode)."""
+        if isinstance(ims, RawRound):
+            import jax.numpy as jnp
+
+            from ..ops.corrections import deinterleave_stack
+            w = ims.window
+            return deinterleave_stack(jnp.asarray(ims.block),
+                                      w.rel_starts, w.n_colors, w.n_z)
+        return ims
+
+    @staticmethod
+    def _dispatch_round(pipe: FovPipeline, ims, ref_im):
+        """One device dispatch for either input mode."""
+        if isinstance(ims, RawRound):
+            w = ims.window
+            return pipe.process_round_raw(ims.block, ref_im,
+                                          w.rel_starts, w.n_colors)
+        return pipe.process_round(ims, ref_im)
 
     def _reference_image(self, fov_name: str):
         """Corrected drift-channel stack of the reference round.
@@ -321,7 +377,7 @@ class ExperimentDriver:
         ref_plans = [p for p in self._plans if p.folder == self.ref_folder]
         plan = ref_plans[0] if ref_plans else self._bead_only_plan()
         pipe = self._pipeline_for(plan)
-        ims = self._load_round(plan, fov_name)
+        ims = self._to_stack(self._load_round(plan, fov_name))
         t0 = time.perf_counter()
         ref_im = pipe.correct_reference(ims)
         # per-crop drift spectra, computed ONCE per FOV: every round's
@@ -388,7 +444,7 @@ class ExperimentDriver:
                     import jax.numpy as jnp
                     pipe = self._pipeline_for(plan)
                     corrected_ims = np.asarray(
-                        pipe.correct_jit(jnp.asarray(ims)))
+                        pipe.correct_jit(jnp.asarray(self._to_stack(ims))))
                 for ci, (dtype, rid) in zip(plan.fit_channel_indices,
                                             plan.regions):
                     if rid not in pending[dtype]:
@@ -413,7 +469,7 @@ class ExperimentDriver:
                 in_flight = None
                 for plan, ims in self._iter_rounds(todo, fov_name):
                     pipe = self._pipeline_for(plan)
-                    res = pipe.process_round(ims, ref_im)   # async dispatch
+                    res = self._dispatch_round(pipe, ims, ref_im)  # async
                     if in_flight is not None:
                         flush(*in_flight)
                     in_flight = (plan, res, ims)
@@ -494,10 +550,11 @@ class ExperimentDriver:
                 continue
             pipe = self._pipeline_for(plan)
             if prev_im is None and prev_plan is not None:
-                prev_ims = self._load_round(prev_plan, fov_name)
+                prev_ims = self._to_stack(
+                    self._load_round(prev_plan, fov_name))
                 prev_im = self._pipeline_for(prev_plan).correct_reference(
                     prev_ims)
-            ims = self._load_round(plan, fov_name)
+            ims = self._to_stack(self._load_round(plan, fov_name))
             t0 = time.perf_counter()
             if prev_im is None:
                 prev_im = pipe.correct_reference(ims)
@@ -589,7 +646,7 @@ class ExperimentDriver:
             if chrom is not None:
                 plan, ci = chrom
                 pipe = self._pipeline_for(plan)
-                ims = self._load_round(plan, fov_name)
+                ims = self._to_stack(self._load_round(plan, fov_name))
                 corrected = pipe.correct_jit(jnp.asarray(ims))
                 if plan.folder != self.ref_folder:
                     ref_im = self._reference_image(fov_name)
@@ -621,7 +678,7 @@ class ExperimentDriver:
                 if not ready:
                     continue
                 pipe = self._pipeline_for(plan)
-                ims = self._load_round(plan, fov_name)
+                ims = self._to_stack(self._load_round(plan, fov_name))
                 corrected = pipe.correct_jit(jnp.asarray(ims))
                 for ci, rid in ready:
                     drift = store._fh[data_type]["drifts"][

@@ -99,6 +99,7 @@ class FovPipeline:
             seed_thresholds = np.full(self.n_channels, cfg.seed.th_seed,
                                       np.float32)
         self.seed_thresholds = jnp.asarray(seed_thresholds, jnp.float32)
+        self._raw_programs = {}
         self._process = self._build()
 
     # -- program construction -------------------------------------------
@@ -238,6 +239,10 @@ class FovPipeline:
         warnings.filterwarnings(
             "ignore", message="Some donated buffers were not usable")
 
+        # unjitted round program, reused by the raw-input variant
+        # (process_round_raw jits deinterleave + this in one program)
+        self._process_fn = process
+
         # per-stage jitted programs for the structured timing breakdown
         # (SURVEY §5: replace the reference's `verbose` prints with a
         # per-stage timing record)
@@ -286,6 +291,33 @@ class FovPipeline:
         (either the corrected image or `prepare_reference` spectra)."""
         return self._process(jnp.asarray(ims), jnp.asarray(ref_im),
                              self.seed_thresholds)
+
+    def process_round_raw(self, raw, ref_im, rel_starts, n_colors,
+                          donate: bool = True) -> RoundResult:
+        """Process one round from the RAW interleaved frame window
+        (io.dax.read_raw_window): the de-interleave runs ON DEVICE as
+        static strided slices fused into the round program
+        (ops.corrections.deinterleave_stack), so the host input path is
+        a pure sequential read.  `rel_starts`/`n_colors` come from
+        io.dax.raw_frame_window for this round's channel layout.
+        `donate=False` keeps the raw block alive (benchmark reuse);
+        production streams fresh uploads and donates."""
+        key = (tuple(int(s) for s in rel_starts), int(n_colors),
+               bool(donate))
+        prog = self._raw_programs.get(key)
+        if prog is None:
+            from ..ops.corrections import deinterleave_stack
+            n_z = self.image_shape[0]
+
+            def process_raw(raw_block, ref, th_seeds):
+                ims = deinterleave_stack(raw_block, key[0], key[1], n_z)
+                return self._process_fn(ims, ref, th_seeds)
+
+            prog = jax.jit(process_raw,
+                           donate_argnums=(0,) if donate else ())
+            self._raw_programs[key] = prog
+        return prog(jnp.asarray(raw), jnp.asarray(ref_im),
+                    self.seed_thresholds)
 
     def process_round_returning_ref(self, ims, ref_im
                                     ) -> Tuple[RoundResult, jnp.ndarray]:

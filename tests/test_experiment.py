@@ -134,6 +134,31 @@ def test_driver_partial_resume(experiment, tmp_path):
     assert rounds_run == [f"H{cleared_round}R{cleared_round}"]
 
 
+def test_device_deinterleave_mode_parity(experiment, tmp_path):
+    """Raw-pread input mode (host = one sequential read, de-interleave
+    on device inside the round program) must produce the same store
+    contents as the fused host loader — same spots, drifts, flags."""
+    root, _truth = experiment
+    drv_a = _driver(root, tmp_path / "a")
+    drv_b = _driver(root, tmp_path / "b", device_deinterleave=True)
+    fov = "Conv_zscan_00.dax"
+    counts_a = drv_a.process_fov(fov)
+    counts_b = drv_b.process_fov(fov)
+    assert counts_a == counts_b
+    with FovStore(drv_a.store_path(fov), "r") as sa, \
+            FovStore(drv_b.store_path(fov), "r") as sb:
+        ids = list(sa._fh["unique"]["ids"][:])
+        assert ids == list(sb._fh["unique"]["ids"][:])
+        for rid in ids:
+            spots_a, drift_a, flag_a = sa.load_spots("unique", rid)
+            spots_b, drift_b, flag_b = sb.load_spots("unique", rid)
+            assert flag_a == flag_b
+            np.testing.assert_allclose(drift_a, drift_b, atol=1e-5)
+            assert spots_a.shape == spots_b.shape
+            np.testing.assert_allclose(spots_a, spots_b, rtol=1e-4,
+                                       atol=1e-4)
+
+
 def test_sequential_drift_mode(experiment, tmp_path):
     """Sequential mode: drifts stored as cumulative sums vs round 0 and
     corrected spots land on round-0 truth (reference Calculate_Bead_Drift

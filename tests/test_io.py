@@ -59,6 +59,51 @@ def test_read_dax_and_split_into_staging_buffers(tmp_path, rng):
                        buffer_frames=buffer, out=outs[:2])
 
 
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_raw_window_pread_and_device_deinterleave(tmp_path, rng,
+                                                  big_endian):
+    """Raw-pread input mode parity: one sequential read of the frame
+    window + on-device strided de-interleave must equal read_dax +
+    split_channels exactly (reference layout arithmetic
+    io_tools/load.py:524-550), including a strict channel subset and a
+    big-endian movie."""
+    import jax.numpy as jnp
+
+    from imageanalysis3_tpu.io.dax import raw_frame_window, read_raw_window
+    from imageanalysis3_tpu.ops.corrections import deinterleave_stack
+
+    n_z, buffer = 5, 3
+    all_ch = ["750", "647", "561", "488"]
+    sel = ["647", "488"]
+    frames = n_z * len(all_ch) + 2 * buffer
+    movie = rng.integers(0, 65535, size=(frames, 16, 16)).astype(np.uint16)
+    path = str(tmp_path / "fov.dax")
+    write_dax(path, movie, big_endian=big_endian)
+
+    from imageanalysis3_tpu.io.dax import channel_start_frames
+    win = raw_frame_window(sel, all_ch, n_z=n_z, buffer_frames=buffer)
+    # the window skips the leading buffer frames entirely and starts at
+    # the earliest selected channel's first frame
+    starts, _ = channel_start_frames(sel, all_ch, buffer_frames=buffer)
+    assert win.first_frame == min(starts) >= buffer
+    raw = read_raw_window(path, win)
+    assert raw.shape == (win.n_frames, 16, 16)
+    # staging-buffer reuse path
+    buf = np.empty_like(raw)
+    raw2 = read_raw_window(path, win, out=buf)
+    assert raw2 is buf
+    np.testing.assert_array_equal(raw, raw2)
+
+    got = np.asarray(deinterleave_stack(jnp.asarray(raw), win.rel_starts,
+                                        win.n_colors, win.n_z))
+    ref = split_channels(movie, sel, all_ch, n_z=n_z,
+                         buffer_frames=buffer)
+    np.testing.assert_array_equal(got, np.stack(ref))
+
+    with pytest.raises(ValueError):
+        read_raw_window(path, win, out=np.empty((1, 16, 16), np.uint16))
+
+
 def test_frame_accounting(tmp_path, rng):
     n_z, n_colors, buffer = 6, 3, 4
     frames = n_z * n_colors + 2 * buffer

@@ -387,3 +387,45 @@ def test_probe_designer_end_to_end(tmp_path):
         bad, regions, fwd, rev, readouts, region_to_readouts,
         min_region_size=6)
     assert not report_bad["primer_usage"] and not report_bad["ok"]
+
+
+def test_encoding_helpers_and_fasta_write(tmp_path):
+    """Codebook encoding utilities (reference library_tools/encoding.py)
+    and FASTA writing (LibraryTools.fastawrite)."""
+    # on-bit lists -> +1/-1 matrix
+    m = LB.convert_bits_to_matrix([[0, 2], [1, 3], [0, 3]])
+    assert m.shape == (3, 4)
+    np.testing.assert_array_equal(m[0], [1, -1, 1, -1])
+    np.testing.assert_array_equal(m.sum(axis=1), [0, 0, 0])
+    assert LB.convert_bits_to_matrix([]).shape == (0, 0)
+
+    # closest-overlap distance for hyb-round ordering
+    placed = [[0, 2], [1, 3], [4, 5]]
+    # bit 1 appears at row 1 (>= location 1 -> distance +1) => 1
+    assert LB.calculate_closest_overlap(placed, [1, 9], 1) == 1.0
+    # bits absent everywhere => len+1
+    assert LB.calculate_closest_overlap(placed, [8, 9], 1) == 4.0
+    # empty list => inf
+    assert LB.calculate_closest_overlap([], [0], 0) == float("inf")
+    with pytest.raises(ValueError):
+        LB.calculate_closest_overlap(placed, [0], 7)
+
+    # fasta round-trip incl. append + wrapping
+    p = str(tmp_path / "lib.fasta")
+    LB.write_fasta(p, {"a": "ACGTACGT", "b": "GGCC"}, width=4)
+    LB.write_fasta(p, [("c", "TTTT")], append=True)
+    back = LB.read_fasta(p)
+    assert back == {"a": "ACGTACGT", "b": "GGCC", "c": "TTTT"}
+
+
+def test_load_position_file(tmp_path):
+    """Stage positions.txt (reference meta_tools/global_alignments.py)."""
+    from imageanalysis3_tpu.io import load_position_file
+    p = tmp_path / "positions.txt"
+    p.write_text("100.5,-20.25\n101.5,30.0\n")
+    pos = load_position_file(str(p))
+    np.testing.assert_allclose(pos, [[100.5, -20.25], [101.5, 30.0]])
+    bad = tmp_path / "bad.txt"
+    bad.write_text("1,2,3\n")
+    with pytest.raises(ValueError):
+        load_position_file(str(bad))
