@@ -147,12 +147,14 @@ class FitConfig:
     max_delta_center: float = 2.5    # repeatfit center box half-width
     max_dist_th: float = 0.1         # convergence: center moved < 0.1 px
     # repeatfit rounds / inner LM iterations: measured on the bench scene
-    # (1800 spots, 60x2048x2048) accuracy is flat from lm_iters=20 down to
-    # 8 (median err 0.0177-0.0180 px, p95 ~0.036) while the fit stage
-    # drops 152 -> 130 ms; 12 keeps two LM iterations of margin over the
-    # knee.  n_max_iter=6 keeps repeatfit margin for crowded fields.
+    # (1800 spots, 60x2048x2048) accuracy is flat from lm_iters=20 down
+    # to 8 (median err 0.0182 px at 12/8/6, r5 profile_fit3), and the r5
+    # moment-based center init (init_params centroid start) moves the LM
+    # start within ~0.1 px of the optimum, so 8 keeps the margin that
+    # the zero-offset start needed 12 for, while the fit stage drops
+    # ~40 ms.  n_max_iter=6 keeps repeatfit margin for crowded fields.
     n_max_iter: int = 6
-    lm_iters: int = 12
+    lm_iters: int = 8
     max_neighbors: int = 12          # capacity of interacting-spot lists
 
 

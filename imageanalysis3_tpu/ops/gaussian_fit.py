@@ -118,9 +118,20 @@ def to_natural(params: jnp.ndarray, center_est: jnp.ndarray, delta: float,
 
 def init_params(pixels: jnp.ndarray, mask: jnp.ndarray,
                 min_w: float, max_w: float, init_w: float,
-                n_aprox: int = 10) -> jnp.ndarray:
+                n_aprox: int = 10,
+                coords: Optional[jnp.ndarray] = None,
+                center_est: Optional[jnp.ndarray] = None,
+                delta: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Initial constrained params from pixel statistics (reference
-    GaussianFit.__init__ :174-186)."""
+    GaussianFit.__init__ :174-186).
+
+    With `coords`/`center_est`/`delta`, the center starts at the
+    intensity-weighted centroid of the background-subtracted block
+    (reference gfit_fast :433-490 moments) expressed in the sigmoid box
+    — measured on the bench scene this moves the LM start within
+    ~0.1 px of the optimum, which is what lets lm_iters=8 keep the full
+    accuracy margin the lm_iters=12 zero-offset start needed (r5 fit
+    budget cut, BASELINE.md fit row)."""
     big = jnp.where(mask, pixels, jnp.inf)
     small = jnp.where(mask, pixels, -jnp.inf)
     lo = -jax.lax.top_k(-big, n_aprox)[0]
@@ -134,7 +145,16 @@ def init_params(pixels: jnp.ndarray, mask: jnp.ndarray,
     h = jnp.log(jnp.maximum(hi_mean, eps0))
     wsq = init_w * init_w
     wg = jnp.log((max_w * max_w - wsq) / (wsq - min_w * min_w))
-    return jnp.stack([bk, h, 0.0, 0.0, 0.0, wg, wg, wg, 0.0, 0.0])
+    cp = jnp.zeros(3, pixels.dtype)
+    if coords is not None:
+        w = jnp.maximum(pixels - lo_mean, 0.0) * mask.astype(jnp.float32)
+        wsum = jnp.sum(w)
+        c0 = jnp.sum(coords * w[:, None], axis=0) \
+            / jnp.maximum(wsum, 1e-12)
+        u = jnp.clip((c0 - center_est) / delta, -0.9, 0.9)
+        cp = jnp.where(wsum > 1e-6, -2.0 * jnp.arctanh(u), 0.0)
+    return jnp.concatenate([jnp.stack([bk, h]), cp,
+                            jnp.stack([wg, wg, wg, 0.0, 0.0])])
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +204,9 @@ def lm_fit_single(pixels: jnp.ndarray, coords: jnp.ndarray,
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fit one spot's pixel block -> (constrained params, mean |residual|)."""
     if params0 is None:
-        params0 = init_params(pixels, mask, min_w, max_w, init_w)
+        params0 = init_params(pixels, mask, min_w, max_w, init_w,
+                              coords=coords, center_est=center_est,
+                              delta=delta)
     maskf = mask.astype(jnp.float32)
 
     def residual(p):
