@@ -186,6 +186,64 @@ def _cg_solve_spd(a: jnp.ndarray, b: jnp.ndarray,
     return x
 
 
+def _scalar_geometry(params: jnp.ndarray, center_est: jnp.ndarray,
+                     delta: float, min_w: float, max_w: float):
+    """Per-spot scalar geometry: quadform coefficients + center.
+
+    Pure function of the 10 constrained params (bk/h unused), O(1) work —
+    its 9x10 jacfwd Jacobian is what makes the analytic LM Jacobian cheap:
+    all pixel-dependence of dq/dtheta factors through 9 per-pixel basis
+    features (see `_jt_analytic`)."""
+    c = _to_center(params[2:5], center_est, delta)
+    ws = _to_ws(params[5:8], min_w * min_w, max_w * max_w)
+    p = _to_sine(params[8])
+    t = _to_sine(params[9])
+    a11, a22, a33, a12, a13, a23 = _quadform_coeffs(
+        t, p, 1.0 / ws[0], 1.0 / ws[1], 1.0 / ws[2])
+    return jnp.stack([a11, a22, a33, a12, a13, a23]), c
+
+
+def _jt_analytic(params: jnp.ndarray, pixels: jnp.ndarray,
+                 coords: jnp.ndarray, maskf: jnp.ndarray,
+                 center_est: jnp.ndarray, delta: float,
+                 min_w: float, max_w: float):
+    """Closed-form (J^T, residual) of the masked residual at `params`.
+
+    Identical values to `jax.linearize` + 10 basis JVPs (parity-tested in
+    tests/test_fitting.py), ~2x cheaper per LM iteration: q = d^T M d is
+    linear in the 6 quadform coefficients and quadratic in d, so for every
+    parameter theta,
+
+        dq/dtheta = GA[:,theta] . basis6(d)  -  (2 M Gc[:,theta]) . d
+
+    where (GA, Gc) is the 9x10 jacfwd of the per-spot scalar geometry.
+    The per-pixel work is one (10, 9) x (9, P) matmul on shared features
+    [d, basis6] instead of 10 tangent propagations through the model chain.
+    """
+    bk, h = params[0], params[1]
+    geom = lambda q: _scalar_geometry(q, center_est, delta, min_w, max_w)
+    A6, c = geom(params)
+    GA, Gc = jax.jacfwd(geom)(params)                 # (6, 10), (3, 10)
+    d = coords - c[None]                              # (P, 3)
+    basis6 = jnp.stack([d[:, 0] * d[:, 0], d[:, 1] * d[:, 1],
+                        d[:, 2] * d[:, 2], d[:, 0] * d[:, 1],
+                        d[:, 0] * d[:, 2], d[:, 1] * d[:, 2]])  # (6, P)
+    q = jnp.einsum("i,ip->p", A6, basis6, precision=_HIGH)
+    peak = jnp.exp(h - 0.5 * q)
+    bkc = jnp.clip(bk, -70.0, 70.0)
+    r = (jnp.exp(bkc) + peak - pixels) * maskf
+    # symmetric M with q = d^T M d: diag [a11,a22,a33], off-diag a../2
+    Mm = A6[jnp.array([[0, 3, 4], [3, 1, 5], [4, 5, 2]])] \
+        * jnp.array([[1.0, 0.5, 0.5], [0.5, 1.0, 0.5], [0.5, 0.5, 1.0]])
+    Cd = -2.0 * (Mm @ Gc)                             # (3, 10)
+    dq = GA.T @ basis6 + Cd.T @ d.T                   # (10, P)
+    Jt = (-0.5 * peak)[None] * dq
+    Jt = Jt.at[1].add(peak)
+    dbk = jnp.where((bk >= -70.0) & (bk <= 70.0), jnp.exp(bkc), 0.0)
+    Jt = Jt.at[0].add(dbk)
+    return Jt * maskf[None], r
+
+
 def rebase_center_params(params: jnp.ndarray, center_est: jnp.ndarray,
                          old_delta: float, new_delta: float) -> jnp.ndarray:
     """Re-express the sigmoid-boxed center under a different delta box so a
@@ -200,7 +258,8 @@ def lm_fit_single(pixels: jnp.ndarray, coords: jnp.ndarray,
                   mask: jnp.ndarray, center_est: jnp.ndarray,
                   delta: float, min_w: float, max_w: float, init_w: float,
                   lm_iters: int = 30,
-                  params0: Optional[jnp.ndarray] = None
+                  params0: Optional[jnp.ndarray] = None,
+                  analytic_jac: bool = True
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fit one spot's pixel block -> (constrained params, mean |residual|)."""
     if params0 is None:
@@ -219,11 +278,19 @@ def lm_fit_single(pixels: jnp.ndarray, coords: jnp.ndarray,
         # vmapped batch is (N, 10, P) — lanes hold pixels.  A jacfwd
         # (P, 10) layout instead puts the 10-wide parameter axis in
         # lanes, which pads to 128 and wastes ~12x of the LM bandwidth.
-        r, f_jvp = jax.linearize(residual, params)
-        # basis derives its varying axes from the data (shard_map-safe:
-        # linearize rejects unvarying tangents against varying primals)
-        basis = jnp.eye(10, dtype=params.dtype) + 0.0 * params[None]
-        Jt = jax.vmap(f_jvp)(basis)                            # (10, P)
+        if analytic_jac:
+            # closed-form J^T: one (10,9)x(9,P) matmul on shared features
+            # instead of 10 tangent propagations (r5 fit cut; parity with
+            # the linearize path tested in tests/test_fitting.py)
+            Jt, r = _jt_analytic(params, pixels, coords, maskf,
+                                 center_est, delta, min_w, max_w)
+        else:
+            r, f_jvp = jax.linearize(residual, params)
+            # basis derives its varying axes from the data (shard_map-
+            # safe: linearize rejects unvarying tangents against varying
+            # primals)
+            basis = jnp.eye(10, dtype=params.dtype) + 0.0 * params[None]
+            Jt = jax.vmap(f_jvp)(basis)                        # (10, P)
         g = jnp.einsum("ip,p->i", Jt, r, precision=_HIGH)
         H = jnp.einsum("ip,jp->ij", Jt, Jt, precision=_HIGH)
         diag = jnp.diagonal(H)
@@ -355,7 +422,7 @@ class FitResult(NamedTuple):
 @partial(jax.jit, static_argnames=(
     "radius", "min_w", "max_w", "init_w", "min_delta_center",
     "max_delta_center", "lm_iters", "n_max_iter", "max_dist_th",
-    "max_neighbors", "max_contested"))
+    "max_neighbors", "max_contested", "analytic_jac"))
 def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
                          seeds_valid: jnp.ndarray,
                          radius: int = 5,
@@ -367,7 +434,8 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
                          n_max_iter: int = 10,
                          max_dist_th: float = 0.1,
                          max_neighbors: int = 12,
-                         max_contested: Optional[int] = None) -> FitResult:
+                         max_contested: Optional[int] = None,
+                         analytic_jac: bool = True) -> FitResult:
     """Fit all seeds concurrently with block-synchronous subtract-refit.
 
     Round 0 mirrors the reference `firstfit` (ownership-masked pixels)
@@ -414,7 +482,8 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
     else:
         delta0 = jnp.full(n, min_delta_center, jnp.float32)
     fit0 = jax.vmap(lambda px, co, mk, ce, dl: lm_fit_single(
-        px, co, mk, ce, dl, min_w, max_w, init_w, lm_iters))
+        px, co, mk, ce, dl, min_w, max_w, init_w, lm_iters,
+        analytic_jac=analytic_jac))
     params, eps = fit0(pixels, coords, base_mask & own, centers_est, delta0)
 
     def natural(p, ce, e, delta):
@@ -455,7 +524,7 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
     def refit(target_k, coords_k, mask_k, ce_k, p0_k):
         fitk = jax.vmap(lambda px, co, mk, ce, p0: lm_fit_single(
             px, co, mk, ce, max_delta_center, min_w, max_w, init_w,
-            repeat_iters, params0=p0))
+            repeat_iters, params0=p0, analytic_jac=analytic_jac))
         new_params, new_eps = fitk(target_k, coords_k, mask_k, ce_k, p0_k)
         new_nat = jax.vmap(
             lambda p, ce, e: natural(p, ce, e, max_delta_center))(

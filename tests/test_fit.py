@@ -231,3 +231,62 @@ def test_gfit_fast_matches_reference_transliteration():
                     cov[0, 2], cov[1, 2]], rtol=1e-4, atol=1e-5)
     assert np.isfinite(got[11])
     assert np.linalg.norm(got[1:4] - c[0]) < 0.12
+
+
+def test_analytic_jacobian_matches_linearize():
+    """The closed-form J^T (r5 LM fast path, `_jt_analytic`) must match
+    jax.linearize + 10 basis JVPs: exact math (f64 parity ~1e-14), so the
+    f32 tolerance here is pure rounding headroom."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    P = 257
+    coords = jnp.asarray(rng.integers(0, 20, (P, 3)).astype(np.float32))
+    center_est = jnp.asarray([10.0, 10.0, 10.0])
+    delta, min_w, max_w = 2.5, 0.5, 4.0
+    pixels = jnp.asarray(rng.uniform(100, 3000, P).astype(np.float32))
+    maskf = (rng.uniform(0, 1, P) > 0.2).astype(np.float32)
+    maskf = jnp.asarray(maskf)
+    for _ in range(4):
+        params = jnp.asarray(
+            rng.normal(0, 1.0, 10).astype(np.float32)
+            + np.array([5.5, 7.0, 0, 0, 0, 0.3, 0.3, 0.3, 0, 0],
+                       np.float32))
+
+        def residual(p):
+            f = G.gaussian_model(p, coords, center_est, delta,
+                                 min_w, max_w)
+            return (f - pixels) * maskf
+
+        r0, f_jvp = jax.linearize(residual, params)
+        Jt0 = jax.vmap(f_jvp)(jnp.eye(10) + 0.0 * params[None])
+        Jt1, r1 = G._jt_analytic(params, pixels, coords, maskf,
+                                 center_est, delta, min_w, max_w)
+        scale = float(jnp.max(jnp.abs(Jt0))) + 1e-9
+        assert float(jnp.max(jnp.abs(r0 - r1))) < 1e-2
+        assert float(jnp.max(jnp.abs(Jt0 - Jt1))) / scale < 5e-3
+
+
+def test_analytic_and_linearize_paths_same_fit():
+    """End-to-end: both LM Jacobian paths converge to the same spots."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    shape = (24, 96, 96)
+    truth = syn.sample_spot_params(shape, 12, rng, min_separation=8.0)
+    base = syn.render_spots_device(shape, truth["centers"],
+                                   truth["heights"],
+                                   background=truth["background"])
+    im = syn.noisy_uint16_device(base, seed=4).astype(jnp.float32)
+    sd = get_seeds(im, max_num_seeds=32, th_seed=300.0)
+    res = {}
+    for an in (False, True):
+        r = G.iter_fit_seed_points(im, sd.coords.astype(jnp.float32),
+                                   sd.valid, lm_iters=8, n_max_iter=6,
+                                   analytic_jac=an)
+        v = np.asarray(r.valid)
+        res[an] = np.asarray(r.spots)[v][:, 1:4]
+    assert res[True].shape == res[False].shape
+    # same optimum to well under the 0.02 px accuracy bar
+    assert np.max(np.linalg.norm(res[True] - res[False], axis=1)) < 5e-3
