@@ -109,6 +109,8 @@ def make_scene(rng, codebook_rows):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -118,10 +120,24 @@ def main():
     from imageanalysis3_tpu.pipeline import FovPipeline
     from imageanalysis3_tpu import synthetic as syn
 
+    decode_only = ("--decode-only" in sys.argv
+                   and os.path.exists("/tmp/bench_e2e_spots.npz"))
     rng = np.random.default_rng(42)
     codebook_df, rows = make_codebook(rng)
     truth, bit_spots = make_scene(rng, rows)
     _note(f"codebook {len(rows)} regions / {N_BITS} bits; scene planted")
+
+    if decode_only:
+        # deterministic scene (seed 42) + cached fitted table: decode-stage
+        # iterations skip the round loop but report its cached timings
+        with np.load("/tmp/bench_e2e_spots.npz") as fh:
+            spots, bits = fh["spots"], fh["bits"]
+            t_proc, t_render = list(fh["t_proc"]), list(fh["t_render"])
+            drift_errs = list(fh["drift_errs"])
+        t_compile = 0.0
+        _note(f"decode-only: {len(spots)} cached candidate spots")
+        return _decode_and_report(truth, codebook_df, spots, bits,
+                                  t_proc, t_render, drift_errs, t_compile)
 
     bead_truth = syn.sample_spot_params(SHAPE, 120, rng,
                                         min_separation=14.0,
@@ -174,6 +190,7 @@ def main():
     ref = round_stack(0)
     jax.block_until_ready(ref)
     ref_im = pipe.prepare_reference(pipe.correct_reference(ref))
+    del ref                     # 1.5 GB raw stack, not needed again
     res0 = pipe.process_round(round_stack(0), ref_im)
     jax.block_until_ready((ref_im, res0))
     t_compile = time.perf_counter() - t0
@@ -199,23 +216,51 @@ def main():
             sp = np.asarray(res.spots[ci])
             va = np.asarray(res.valid[ci])
             all_spots.append(sp[va])
-            all_bits.append(np.full(int(va.sum()), r * N_DATA_CH + ci))
+            # codebook bit columns are 1-based ("1".."40")
+            all_bits.append(np.full(int(va.sum()),
+                                    r * N_DATA_CH + ci + 1))
         if r % 5 == 0:
             _note(f"round {r}: proc {t_proc[-1]:.3f}s, "
                   f"{int(sum(len(s) for s in all_spots))} spots so far")
     spots = np.concatenate(all_spots).astype(np.float32)
     bits = np.concatenate(all_bits)
+    # cache the fitted table so decode-stage iterations skip the ~25 min
+    # round loop: `python bench_e2e.py --decode-only` reuses it
+    np.savez("/tmp/bench_e2e_spots.npz", spots=spots, bits=bits,
+             t_proc=np.asarray(t_proc), t_render=np.asarray(t_render),
+             drift_errs=np.asarray(drift_errs))
+    _decode_and_report(truth, codebook_df, spots, bits, t_proc, t_render,
+                       drift_errs, t_compile)
+
+
+def _decode_and_report(truth, codebook_df, spots, bits, t_proc, t_render,
+                       drift_errs, t_compile):
+    from imageanalysis3_tpu.decode.dna_decoder import DNAMerfishDecoder
+
     t_align_fit = float(np.sum(t_proc))
     _note(f"align+fit {t_align_fit:.1f}s for {N_ROUNDS} rounds "
           f"({len(spots)} candidate spots); decoding")
 
-    # decode + homolog EM picking (reference batch_decode_BB_like chain)
+    # decode + homolog EM picking (reference batch_decode_BB_like chain).
+    # Timed twice: the first call compiles the shape-bucketed programs
+    # (paid once per experiment); the steady-state call is what every
+    # subsequent cell costs.  The steady-state inputs are jittered by
+    # 1e-3 px so the axon tunnel's result cache cannot satisfy the call
+    # without executing.
     dec = DNAMerfishDecoder(codebook_df, pair_search_radius=250.0,
                             keep_ratio_th=0.2)
     t0 = time.perf_counter()
     out = dec.decode(spots, bits)
-    t_decode = time.perf_counter() - t0
+    t_decode_first = time.perf_counter() - t0
     assert out is not None, "keep-ratio gate tripped"
+    first_stage_seconds = dict(dec.stage_seconds)
+
+    jit_spots = spots.copy()
+    jit_spots[:, 1:4] += np.float32(1e-3)
+    t0 = time.perf_counter()
+    out = dec.decode(jit_spots, bits)
+    t_decode = time.perf_counter() - t0
+    assert out is not None
 
     # trace accuracy vs planted truth (homolog permutation resolved per
     # chromosome by total distance)
@@ -258,6 +303,12 @@ def main():
                 dec.stage_seconds["tuples"], 3),
             "decode_homolog_seconds": round(
                 dec.stage_seconds["homolog"], 3),
+            "decode_first_call_seconds": round(t_decode_first, 3),
+            "decode_first_call_note": "includes one-time program "
+                "compiles; bucketed shapes (spot_bucket/group_bucket) "
+                "make every later cell hit this cache",
+            "decode_first_stage_seconds": {
+                k: round(v, 3) for k, v in first_stage_seconds.items()},
             "candidate_spots": int(len(spots)),
             "regions_assigned": n_assigned,
             "regions_total": n_regions,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -54,12 +55,22 @@ class DNAMerfishDecoder:
                                       search_th=pair_search_radius)
 
     def decode(self, spots: np.ndarray, bits: np.ndarray,
+               spot_bucket: Optional[int] = 4096,
+               group_bucket: Optional[int] = 256,
                **assign_kwargs) -> Optional[Dict[str, HomologResult]]:
         """Full pipeline: tuples -> per-chromosome homolog assignment.
 
         Returns chr name -> HomologResult (zxys (H, R_chr, 3) nm), or
         None when the cell has too few candidates (reference keep_ratio
         gate, decode.py:2158-2160).
+
+        Shape bucketing (compile-count control — the decode and E/M
+        programs are shape-specialized, and a production run decodes
+        thousands of cells whose candidate/group counts all differ):
+        `spot_bucket` rounds the candidate count up with invalid rows;
+        `group_bucket` rounds each chromosome's group count up with
+        ``ok=False`` rows, so every chromosome with the same region
+        count shares one compiled E/M program per bucket.
         """
         import time as _time
 
@@ -69,7 +80,7 @@ class DNAMerfishDecoder:
         if len(spots) < min_needed:
             return None
         t0 = _time.perf_counter()
-        groups = self.decoder.decode(spots, bits)
+        groups = self.decoder.decode(spots, bits, bucket=spot_bucket)
         jax.block_until_ready(groups.ok)
         #: per-stage wall times (SURVEY §5 structured timing record):
         #: `tuples` = pair search + select + tuple completion,
@@ -77,6 +88,11 @@ class DNAMerfishDecoder:
         self.stage_seconds = {"tuples": _time.perf_counter() - t0}
         t0 = _time.perf_counter()
         self.spot_groups = groups
+        if spot_bucket and len(spots) % spot_bucket:
+            # match the decoder's padded spot table (padding rows are
+            # never members of any ok group)
+            spots = np.pad(spots, ((0, spot_bucket
+                                    - len(spots) % spot_bucket), (0, 0)))
         ok = np.asarray(groups.ok)
         regions = np.asarray(groups.region)
         out: Dict[str, HomologResult] = {}
@@ -84,16 +100,28 @@ class DNAMerfishDecoder:
             chr_rids = {rid for rid, c in self.region_2_chr.items()
                         if c == chr_name}
             sel = ok & np.isin(regions, list(chr_rids))
-            if sel.sum() < 2 * self.num_homologs:
+            k = int(sel.sum())
+            if k < 2 * self.num_homologs:
                 continue
+            pad = ((group_bucket - k % group_bucket) % group_bucket
+                   if group_bucket else 0)
+
+            def _take(a, fill=0):
+                a = np.asarray(a)[sel]
+                if pad:
+                    a = np.concatenate([
+                        a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+                return a
+
+            rid_sel = _take(regions, fill=int(regions[sel][0]))
             sub = SpotGroups(
-                spot_idx=groups.spot_idx[sel],
-                region=groups.region[sel],
-                n_spots=groups.n_spots[sel],
-                ok=groups.ok[sel],
+                spot_idx=jnp.asarray(_take(groups.spot_idx, fill=-1)),
+                region=jnp.asarray(rid_sel),
+                n_spots=jnp.asarray(_take(groups.n_spots)),
+                ok=jnp.asarray(_take(groups.ok, fill=False)),
                 spot_usage=groups.spot_usage)
             out[chr_name] = decode_chromosome_homologs(
-                sub, spots, regions[sel],
+                sub, spots, rid_sel,
                 pixel_size_nm=self.pixel_sizes,
                 n_homologs=self.num_homologs, **assign_kwargs)
         self.stage_seconds["homolog"] = _time.perf_counter() - t0

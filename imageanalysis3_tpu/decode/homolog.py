@@ -390,9 +390,12 @@ def group_statistics(groups, spots: np.ndarray,
     s = idx.shape[1]
     iu, ju = np.triu_indices(s, 1)
     pair_ok = member_ok[:, iu] & member_ok[:, ju]
-    with np.errstate(invalid="ignore"):
-        d_int = np.nanmedian(
-            np.where(pair_ok, d[:, iu, ju], np.nan), axis=1)
+    vals = np.where(pair_ok, d[:, iu, ju], np.nan)
+    has_pair = pair_ok.any(axis=1)       # ok=False padding rows have none
+    d_int = np.zeros(len(vals))
+    if has_pair.any():
+        with np.errstate(invalid="ignore"):
+            d_int[has_pair] = np.nanmedian(vals[has_pair], axis=1)
     d_int = np.nan_to_num(d_int, nan=0.0)
     n_spots = member_ok.sum(1).astype(np.int32)
     return (centroids, np.nan_to_num(mean_int).astype(np.float32),

@@ -417,18 +417,37 @@ class MerfishDecoder:
                valid: Optional[np.ndarray] = None,
                k_neighbors: int = 24,
                pair_capacity: Optional[int] = None,
-               max_usage: int = 1_000_000) -> SpotGroups:
+               max_usage: int = 1_000_000,
+               bucket: Optional[int] = None) -> SpotGroups:
         """Pair selection always enforces spot uniqueness; `max_usage`
         bounds spot reuse during tuple completion only (reference
         select_spot_tuples defaults max_usage=inf, decode.py:372).
         ``pair_capacity=None`` (default) never drops pairs; an explicit
-        capacity reports overflow via the result's `dropped` count."""
+        capacity reports overflow via the result's `dropped` count.
+
+        ``bucket``: round the spot count up to a multiple of this with
+        `valid=False` padding rows, so cells with different candidate
+        counts share one compiled program per bucket instead of one per
+        exact count (the decode programs are shape-specialized; batch
+        decoding thousands of cells would otherwise recompile per cell).
+        Result arrays are sized by the padded count; padding rows come
+        back with ``ok=False``."""
         spots = jnp.asarray(spots, jnp.float32)
         n = spots.shape[0]
         if valid is None:
             valid = jnp.ones(n, bool)
         else:
             valid = jnp.asarray(valid)
+        if bucket and n % bucket:
+            pad = bucket - n % bucket
+            spots = jnp.pad(spots, ((0, pad), (0, 0)))
+            valid = jnp.pad(valid, (0, pad))          # False padding
+            # any in-codebook bit label keeps the LUT lookup happy;
+            # valid=False keeps the rows out of every neighbor search
+            bits = np.concatenate([
+                np.asarray(bits),
+                np.full(pad, self.codebook.bit_values[0], np.int64)])
+            n = spots.shape[0]
         positions = spots[:, 1:4] * jnp.asarray(self.pixel_size)[None]
         bit_index = jnp.asarray(self.bit_index_of(np.asarray(bits)))
 

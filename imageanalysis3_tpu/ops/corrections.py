@@ -124,7 +124,7 @@ def bleedthrough_unmix(ims: jnp.ndarray, profile: jnp.ndarray) -> jnp.ndarray:
     "hot_pixel", "hot_pixel_th", "hot_pixel_ratio", "z_shift",
     "do_bleedthrough", "do_illumination", "do_highpass",
     "highpass_sigma", "highpass_truncate", "clip", "clip_min", "clip_max",
-    "median_subsample"))
+    "median_subsample", "sequential_channels"))
 def correct_channel_stack(
     ims: jnp.ndarray,
     bleed_profile: Optional[jnp.ndarray] = None,
@@ -143,6 +143,7 @@ def correct_channel_stack(
     clip_min: float = 0.0,
     clip_max: float = 65535.0,
     median_subsample: int = 1,
+    sequential_channels: bool = False,
 ) -> jnp.ndarray:
     """One fused pass over a `(C, Z, X, Y)` multi-channel stack.
 
@@ -150,23 +151,49 @@ def correct_channel_stack(
     hot-pixel -> z-shift -> bleedthrough -> illumination -> high-pass.
     Drift/chromatic warping is a separate op (:mod:`.warp`) because it needs
     the drift result.
+
+    ``sequential_channels``: run the per-channel stages one channel at a
+    time (`lax.map`) instead of batched (`vmap`).  Identical values; caps
+    live HBM at ~one channel's working set instead of C of them — at
+    production scale (3 x 60x2048x2048 f32 = 3 GB per intermediate) the
+    batched form overflows a 16 GB chip once hot-pixel/z-shift temps pile
+    up.  The stages are HBM-bandwidth-bound at this size, so serializing
+    channels costs no throughput.  Only bleedthrough mixes channels; it
+    stays batched in both modes (its einsum needs all channels at once).
     """
-    out = ims.astype(jnp.float32)
-    if hot_pixel:
-        out = jax.vmap(lambda im: remove_hot_pixels(
-            im, hot_pix_th=hot_pixel_th, hot_th=hot_pixel_ratio))(out)
-    if z_shift:
-        out = jax.vmap(partial(z_shift_correct,
-                               median_subsample=median_subsample))(out)
+    _map = ((lambda f, xs: jax.lax.map(f, xs)) if sequential_channels
+            else (lambda f, xs: jax.vmap(f)(xs)))
+
+    def _pre(im):
+        x = im.astype(jnp.float32)
+        if hot_pixel:
+            x = remove_hot_pixels(x, hot_pix_th=hot_pixel_th,
+                                  hot_th=hot_pixel_ratio)
+        if z_shift:
+            x = z_shift_correct(x, median_subsample=median_subsample)
+        return x
+
+    # uint16 -> f32 happens inside the per-channel body so sequential mode
+    # never materializes a full-stack f32 copy of the raw input
+    out = _map(_pre, ims)
     if do_bleedthrough and bleed_profile is not None:
         out = bleedthrough_unmix(out, bleed_profile)
         if clip:
             out = jnp.clip(out, clip_min, clip_max)
-    if do_illumination and illumination_profile is not None:
-        out = out / illumination_profile[:, None].astype(jnp.float32)
-    if do_highpass:
-        out = jax.vmap(lambda im: gaussian_highpass(
-            im, highpass_sigma, highpass_truncate))(out)
-    if clip:
-        out = jnp.clip(out, clip_min, clip_max)
+
+    post_illum = (do_illumination and illumination_profile is not None)
+    if post_illum or do_highpass or clip:
+        def _post(args):
+            x, prof = args
+            if post_illum:
+                x = x / prof[None].astype(jnp.float32)
+            if do_highpass:
+                x = gaussian_highpass(x, highpass_sigma, highpass_truncate)
+            if clip:
+                x = jnp.clip(x, clip_min, clip_max)
+            return x
+
+        prof = (illumination_profile if post_illum
+                else jnp.ones((ims.shape[0], 1, 1), jnp.float32))
+        out = _map(_post, (out, prof))
     return out

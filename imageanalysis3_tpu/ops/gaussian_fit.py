@@ -210,7 +210,7 @@ def _jt_analytic(params: jnp.ndarray, pixels: jnp.ndarray,
     """Closed-form (J^T, residual) of the masked residual at `params`.
 
     Identical values to `jax.linearize` + 10 basis JVPs (parity-tested in
-    tests/test_fitting.py), ~2x cheaper per LM iteration: q = d^T M d is
+    tests/test_fit.py), ~2x cheaper per LM iteration: q = d^T M d is
     linear in the 6 quadform coefficients and quadratic in d, so for every
     parameter theta,
 
@@ -281,7 +281,7 @@ def lm_fit_single(pixels: jnp.ndarray, coords: jnp.ndarray,
         if analytic_jac:
             # closed-form J^T: one (10,9)x(9,P) matmul on shared features
             # instead of 10 tangent propagations (r5 fit cut; parity with
-            # the linearize path tested in tests/test_fitting.py)
+            # the linearize path tested in tests/test_fit.py)
             Jt, r = _jt_analytic(params, pixels, coords, maskf,
                                  center_est, delta, min_w, max_w)
         else:

@@ -131,6 +131,11 @@ class FovPipeline:
                 median_subsample=getattr(corr, "median_subsample", 1),
                 clip_min=corr.clip_min,
                 clip_max=corr.clip_max,
+                # multi-channel production stacks (3 x 1 GB f32 at
+                # 2048^2x60) overflow HBM if per-channel temps are
+                # batched; one channel at a time costs nothing at
+                # bandwidth-bound sizes
+                sequential_channels=self.n_channels > 1,
             )
 
         def ref_spectra(ref_im):
@@ -208,15 +213,54 @@ class FovPipeline:
                 max_neighbors=fit_cfg.max_neighbors)
             return res.spots, res.valid
 
+        # bleedthrough is the only stage that mixes channels; without it
+        # each channel corrects independently, so the round program can
+        # STREAM channels — correct one, fit it, let XLA free its 1 GB
+        # volume before the next — instead of holding the full (C, Z, X, Y)
+        # corrected stack (3 GB at production scale) live across every fit.
+        # With bleedthrough enabled the batched path remains (its unmix
+        # einsum needs all channels at once).
+        streaming = not (corr.bleedthrough and self.bleed is not None)
+
+        def correct_one(im, ci):
+            """Correct a single channel (static index `ci` selects its
+            illumination profile); no cross-channel stages."""
+            illum = (self.illumination[ci][None]
+                     if self.illumination is not None else None)
+            return correct_channel_stack(
+                im[None],
+                illumination_profile=illum,
+                hot_pixel=corr.hot_pixel,
+                hot_pixel_th=corr.hot_pixel_th,
+                hot_pixel_ratio=corr.hot_pixel_ratio,
+                z_shift=corr.z_shift,
+                do_bleedthrough=False,
+                do_illumination=(corr.illumination
+                                 and self.illumination is not None),
+                do_highpass=corr.gaussian_highpass,
+                highpass_sigma=corr.highpass_sigma,
+                highpass_truncate=corr.highpass_truncate,
+                median_subsample=getattr(corr, "median_subsample", 1),
+                clip_min=corr.clip_min,
+                clip_max=corr.clip_max,
+            )[0]
+
         def process_full(ims, ref_im, th_seeds):
             """ims: (C, Z, X, Y) raw; ref_im: (Z, X, Y) corrected reference
             drift-channel image; th_seeds: (C,) per-channel thresholds.
             Returns (RoundResult, corrected drift-channel stack)."""
-            corrected = correct(ims)
-            drift, flag = drift_of(corrected[drift_idx], ref_im)
+            if streaming:
+                corr_drift = correct_one(ims[drift_idx], drift_idx)
+                channel_of = (lambda ci: corr_drift if ci == drift_idx
+                              else correct_one(ims[ci], ci))
+            else:
+                corrected = correct(ims)
+                corr_drift = corrected[drift_idx]
+                channel_of = lambda ci: corrected[ci]
+            drift, flag = drift_of(corr_drift, ref_im)
             spots_list, valid_list, corr_list = [], [], []
             for ci in fit_idx:
-                sp, va = fit_channel(corrected[ci], th_seeds[ci])
+                sp, va = fit_channel(channel_of(ci), th_seeds[ci])
                 spots_list.append(sp)
                 valid_list.append(va)
                 new_coords = warp_spot_coords(
@@ -227,7 +271,7 @@ class FovPipeline:
             valid = jnp.stack(valid_list)
             return RoundResult(spots=corrected_spots, raw_spots=raw,
                                valid=valid, drift=drift,
-                               drift_flag=flag), corrected[drift_idx]
+                               drift_flag=flag), corr_drift
 
         def process(ims, ref_im, th_seeds):
             return process_full(ims, ref_im, th_seeds)[0]
@@ -247,6 +291,11 @@ class FovPipeline:
         # (SURVEY §5: replace the reference's `verbose` prints with a
         # per-stage timing record)
         self.correct_jit = jax.jit(correct)
+        # streaming-mode reference correction: only the drift channel's
+        # volume is ever needed from the reference round
+        self._correct_drift_only = (
+            jax.jit(lambda im: correct_one(im, drift_idx))
+            if streaming else None)
         self.drift_jit = jax.jit(drift_of)
         self.fit_jit = jax.jit(fit_channel)
         # sequential-drift mode needs the corrected drift channel back as
@@ -264,6 +313,11 @@ class FovPipeline:
         """Correct the reference round and return its drift-channel image
         (reference Field_of_View._load_reference_image :734-801)."""
         corr = self.cfg.correction
+        if self._correct_drift_only is not None:
+            # no cross-channel stage: correct only the drift channel
+            # (1 GB live instead of C GB at production scale)
+            return self._correct_drift_only(
+                jnp.asarray(ref_ims)[self.drift_idx])
         out = correct_channel_stack(
             jnp.asarray(ref_ims),
             bleed_profile=self.bleed,
@@ -277,7 +331,8 @@ class FovPipeline:
             highpass_sigma=corr.highpass_sigma,
             highpass_truncate=corr.highpass_truncate,
             median_subsample=getattr(corr, "median_subsample", 1),
-            clip_min=corr.clip_min, clip_max=corr.clip_max)
+            clip_min=corr.clip_min, clip_max=corr.clip_max,
+            sequential_channels=self.n_channels > 1)
         return out[self.drift_idx]
 
     def prepare_reference(self, ref_im) -> jnp.ndarray:

@@ -131,3 +131,21 @@ def test_z_shift_subsample_normalization_close():
     out_sub = np.asarray(z_shift_correct(jnp.asarray(im),
                                          median_subsample=4))
     np.testing.assert_allclose(out_sub, out_exact, rtol=5e-3)
+
+
+def test_sequential_channels_matches_vmap(rng):
+    """sequential_channels=True (lax.map, the multi-channel HBM cap) is
+    value-identical to the batched vmap form through the full chain."""
+    ims = rng.uniform(0, 4000, size=(3, 6, 32, 32)).astype(np.uint16)
+    mix = syn.bleed_matrix(3, leak=0.08, rng=rng)
+    bleed = np.broadcast_to(np.linalg.inv(mix)[:, :, None, None],
+                            (3, 3, 32, 32)).astype(np.float32)
+    prof = np.stack([syn.illumination_profile((32, 32))
+                     for _ in range(3)]).astype(np.float32)
+    kw = dict(bleed_profile=bleed, illumination_profile=prof,
+              do_highpass=True, highpass_sigma=2.0)
+    a = np.asarray(C.correct_channel_stack(ims, sequential_channels=False,
+                                           **kw))
+    b = np.asarray(C.correct_channel_stack(ims, sequential_channels=True,
+                                           **kw))
+    np.testing.assert_array_equal(a, b)
