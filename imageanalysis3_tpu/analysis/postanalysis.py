@@ -306,3 +306,85 @@ def local_maximum_in_density(density: np.ndarray,
         jnp.asarray(density), int(seeding_window),
         float(intensity_ratio)))
     return np.argwhere(mask)
+
+
+def normalize_center_spots(spots: np.ndarray,
+                           distance_zxy: Sequence[float] = (200.0, 108.0,
+                                                            108.0),
+                           center_zero: bool = True,
+                           scale_variance: bool = False,
+                           pca_align: bool = True,
+                           scaling: float = 1.0,
+                           return_pca: bool = False):
+    """Standardize one chromosome's fitted spots in 3D: rescale pixel
+    coordinates to isotropic units, center, optionally normalize total
+    variance, and rotate onto the principal axes.
+
+    Behavior target: spot_tools/translating.py:12-93
+    (normalize_center_spots) — accepts `(N, 3)` zxy, `(N, 4)` hzxy, or
+    full 11-column spot rows (coordinates at 1:4, widths at 5:8; both
+    get the anisotropy rescale).  NaN rows pass through untouched by the
+    PCA rotation, which is fit on the clean rows only.  The PCA here is
+    an eigendecomposition of the clean rows' covariance (no sklearn);
+    components are ordered by descending variance with a sign convention
+    of non-negative mean projection.  Returns the standardized copy (and
+    the `(3, 3)` component matrix when `return_pca`).
+    """
+    spots = np.array(spots, np.float64)
+    ncol = spots.shape[1]
+    if ncol == 3:
+        coords = spots.copy()
+        stds = None
+    elif ncol == 4:
+        coords = spots[:, -3:].copy()
+        stds = None
+    else:
+        d = np.asarray(distance_zxy, np.float64)[:3]
+        adj = d / d.min()
+        coords = spots[:, 1:4] * adj[None]
+        stds = spots[:, 5:8] * adj[None]
+
+    center = np.nanmean(coords, axis=0)
+    if center_zero:
+        coords = coords - center
+        center = np.zeros(3)
+    if scale_variance:
+        total = np.sqrt(np.nansum(np.nanvar(coords, axis=0)))
+        coords = coords / total * scaling
+        if stds is not None:
+            stds = stds / total * scaling
+    else:
+        coords = coords * scaling
+        if stds is not None:
+            stds = stds * scaling
+
+    model = None
+    if pca_align:
+        clean = ~np.isnan(coords).any(axis=1)
+        x = coords[clean] - center
+        if len(x) >= 3:
+            cov = np.cov(x.T)
+            w, v = np.linalg.eigh(cov)
+            order = np.argsort(w)[::-1]
+            model = v[:, order]
+            # deterministic sign: each component points toward positive
+            # mean |projection|
+            proj = x @ model
+            sign = np.where(np.abs(proj).sum(0) > 0,
+                            np.sign(proj[np.abs(proj).argmax(0),
+                                         np.arange(3)]), 1.0)
+            model = model * sign[None]
+            coords[clean] = x @ model + center
+
+    if ncol == 3:
+        out = coords
+    elif ncol == 4:
+        out = spots.copy()
+        out[:, -3:] = coords
+    else:
+        out = spots.copy()
+        out[:, 1:4] = coords
+        out[:, 5:8] = stds
+    if return_pca:
+        return out, model
+    return out

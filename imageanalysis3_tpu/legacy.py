@@ -1,19 +1,34 @@
 """Legacy-pipeline compatibility layer: the Cell_List / Cell_Data workflow.
 
 Behavior target: reference classes/__init__.py:817-4513 — the first-
-generation per-cell pipeline notebooks drive: load drift, crop candidate
-images (`_crop_images`), identify chromosomes, multi-fit, pick spots
-(naive/dynamic/EM), generate distance maps, merge RNA results into DNA
-cells (`_merge_RNA_to_DNA`), and reduce population maps
+generation per-cell pipeline notebooks drive: load metadata
+(`_load_color_info` etc.), crop candidate images (`_crop_images`),
+identify chromosomes (`_identify_chromosomes`,
+`_get_chromosomes_for_cells`), multi-fit
+(`_multi_fitting_for_chromosome`), pick spots (naive/dynamic/EM,
+`_pick_spots` / `_pick_spots_for_cells`), screen by intensity p-value
+(`_get_intensity_stats` / `_p_value_filter`), generate distance maps,
+call domains (`_domain_calling` / `_batch_domain_calling`), merge RNA
+results into DNA cells (`_merge_RNA_to_DNA`), checkpoint cells
+(`_save_to_file` / `_load_from_file`, `_save_cells_to_files` /
+`_load_cells_from_files`), and reduce population maps
 (median/mean/contact, `_calculate_population_map`).  This module keeps
 that *workflow shape* as a compatibility facade over the TPU engine so
 reference users can port notebooks method-by-method; new code should use
 pipeline.FieldOfView / ExperimentDriver directly.
 
-Deliberate differences: no pickled `cell_info` state (the HDF5 store is
-the checkpoint), no multiprocessing pools (the device is the
-parallelism), and segmentation comes from segmentation.segment_nuclei or
-imported masks rather than the retired DAPI watershed.
+Deliberate differences: no pickled `cell_info` state (cell checkpoints
+are `.npz`, the HDF5 store is the pipeline checkpoint), no
+multiprocessing pools (the device is the parallelism), segmentation
+comes from segmentation.segment_nuclei or imported masks rather than
+the retired DAPI watershed, and cells map 1:1 to FOVs in `_create_cells`
+(per-cell gating happens via analysis.partition).  Methods NOT ported
+(retired or GUI-bound in the reference): `_pick_cell_segmentations` /
+`_update_cell_segmentations` (matplotlib click GUI; see
+figures.interactive), `_translate_old_segmentations`,
+`_translate_chromosome_coords`, `_generate_dependent_maps`,
+`_transfer_data_type`, and the combo/`Encoding_Group` old-generation
+decode path (replaced by decode.merfish).
 """
 
 from __future__ import annotations
@@ -160,6 +175,201 @@ class CellData:
         return driver.load_region_crops(fov_name, lims, data_type,
                                         region_ids=region_ids)
 
+    # -- chromosome identification (reference _identify_chromosomes,
+    #    :3504-3550) -------------------------------------------------------
+
+    def _identify_chromosomes(self, chrom_im: np.ndarray,
+                              nucleus_labels: Optional[np.ndarray] = None,
+                              expected_per_nucleus: int = 2,
+                              th_seed: Optional[float] = None,
+                              **find_kwargs) -> np.ndarray:
+        """Seed chromosome centers in this cell's chromosome image and
+        store them as `chrom_coords` (reference _identify_chromosomes,
+        classes/__init__.py:3504-3550: gaussian blur + seeding inside the
+        segmentation label).  Delegates to the per-nucleus adaptive
+        seeding (segmentation.chromosome.find_candidate_chromosomes)."""
+        import jax.numpy as jnp
+
+        from .segmentation.chromosome import find_candidate_chromosomes
+
+        chrom_im = np.asarray(chrom_im)
+        if nucleus_labels is None:
+            nucleus_labels = np.ones(chrom_im.shape, np.int32)
+        if th_seed is None:
+            th_seed = float(3.0 * np.std(chrom_im))
+        coords, _, _ = find_candidate_chromosomes(
+            jnp.asarray(chrom_im), jnp.asarray(nucleus_labels),
+            expected_per_nucleus=expected_per_nucleus,
+            th_seed=th_seed, **find_kwargs)
+        self.chrom_coords = [np.asarray(c) for c in coords]
+        return np.asarray(coords)
+
+    # -- per-chromosome multi-fitting (reference
+    #    _multi_fitting_for_chromosome, :3642-3730) ------------------------
+
+    def _multi_fitting_for_chromosome(self, ims_by_region: Dict[int,
+                                                                np.ndarray],
+                                      fit_window: int = 40,
+                                      th_seed: float = 300.0,
+                                      max_seed_count: int = 10,
+                                      **fit_kwargs) -> Dict[int, np.ndarray]:
+        """Fit candidate spots in a window around every chromosome center
+        in every region image, replacing `cand_spots`.
+
+        Behavior target: Cell_Data._multi_fitting_for_chromosome
+        (classes/__init__.py:3642-3730): per chromosome, crop a
+        `_fit_window` box around the chromosome coordinate, seed + LM-fit
+        it, collect per-region candidate lists.  Here all (chromosome x
+        region) crops fit in one batched device dispatch per region
+        (ops.cell_fitting.fit_spots_around_centers); requires
+        `chrom_coords` (run `_identify_chromosomes` first)."""
+        from .ops.cell_fitting import fit_spots_around_centers
+
+        if not self.chrom_coords:
+            raise AttributeError("no chrom_coords; run "
+                                 "_identify_chromosomes first")
+        centers = np.asarray(self.chrom_coords, float)
+        w = int(fit_window)
+        out: Dict[int, np.ndarray] = {}
+        for rid, im in ims_by_region.items():
+            zdim = min(np.asarray(im).shape[0], w)
+            spots, valid = fit_spots_around_centers(
+                np.asarray(im), centers, crop_size=(zdim, w, w),
+                th_seed=th_seed, max_num_seeds=max_seed_count,
+                **fit_kwargs)
+            out[int(rid)] = np.concatenate(
+                [s[v] for s, v in zip(spots, valid)]) if valid.any() \
+                else np.zeros((0, spots.shape[-1]), np.float32)
+        self.cand_spots = out
+        return out
+
+    # -- background levels (reference _calculate_background, :3591-3641) ---
+
+    @staticmethod
+    def _calculate_background(ims_by_channel: Dict,
+                              function_type: str = "median",
+                              num_per_channel: int = 20) -> Dict:
+        """Per-channel background level: reduce up to `num_per_channel`
+        images per channel with nan-median/mean, then take the median of
+        the reduced image (reference Cell_Data._calculate_background,
+        classes/__init__.py:3591-3641).  `ims_by_channel`: channel ->
+        list of 3D arrays."""
+        if function_type not in ("median", "mean"):
+            raise KeyError(f"function_type {function_type!r} not in "
+                           f"median/mean")
+        reduce = np.nanmedian if function_type == "median" else np.nanmean
+        out = {}
+        for ch, ims in ims_by_channel.items():
+            ims = [np.asarray(im, np.float32)
+                   for im in ims[:num_per_channel]]
+            if not ims:
+                continue
+            out[ch] = float(np.median(reduce(np.stack(ims), axis=0)))
+        return out
+
+    # -- completeness check (reference _check_full_set, :2963-3011) --------
+
+    def _check_full_set(self, expected_ids: Sequence[int]) -> bool:
+        """True when every expected region id has a (possibly empty)
+        candidate-spot entry (reference Cell_Data._check_full_set,
+        classes/__init__.py:2963-3011, which checks the saved rounds file
+        against the color-usage id list)."""
+        return all(int(i) in {int(k) for k in self.cand_spots}
+                   for i in expected_ids)
+
+    # -- save/load (reference _save_to_file/_load_from_file,
+    #    :3012-3446) -------------------------------------------------------
+
+    def _save_to_file(self, path: str) -> None:
+        """Checkpoint this cell's picking state to one `.npz` (reference
+        Cell_Data._save_to_file 'cell_info' mode, classes/__init__.py:
+        3012-3190).  Deliberate difference: npz instead of pickle — the
+        HDF5 store is the pipeline checkpoint; this file only carries the
+        notebook-facing picking state."""
+        payload: Dict[str, np.ndarray] = {}
+        for rid, sp in self.cand_spots.items():
+            payload[f"cand_{int(rid)}"] = np.asarray(sp)
+        if self.chrom_coords is not None:
+            payload["chrom_coords"] = np.asarray(self.chrom_coords)
+        for i, tr in enumerate(getattr(self, "picked_traces", []) or []):
+            payload[f"trace_{i}"] = np.asarray(tr)
+        for i, dm in enumerate(getattr(self, "distance_maps", []) or []):
+            payload[f"distmap_{i}"] = np.asarray(dm)
+        np.savez_compressed(path, **payload)
+
+    @classmethod
+    def _load_from_file(cls, path: str,
+                        pixel_size_nm=DEFAULT_PIXEL_SIZE_NM) -> "CellData":
+        """Inverse of :meth:`_save_to_file` (reference _load_from_file,
+        classes/__init__.py:3191-3446)."""
+        with np.load(path) as fh:
+            cand = {int(k[5:]): fh[k] for k in fh.files
+                    if k.startswith("cand_")}
+            chrom = (list(fh["chrom_coords"])
+                     if "chrom_coords" in fh.files else None)
+            cell = cls(cand, chrom_coords=chrom,
+                       pixel_size_nm=pixel_size_nm)
+            traces = [fh[k] for k in sorted(
+                (k for k in fh.files if k.startswith("trace_")),
+                key=lambda s: int(s.split("_")[1]))]
+            if traces:
+                cell.picked_traces = traces
+            dmaps = [fh[k] for k in sorted(
+                (k for k in fh.files if k.startswith("distmap_")),
+                key=lambda s: int(s.split("_")[1]))]
+            if dmaps:
+                cell.distance_maps = dmaps
+        return cell
+
+    # -- picked-spot QC figure (reference _visualize_picked_spots,
+    #    :4039-4122) -------------------------------------------------------
+
+    def _visualize_picked_spots(self, im: np.ndarray,
+                                chrom_index: int = 0, ax=None):
+        """Overlay the picked trace on a projection of `im` (reference
+        Cell_Data._visualize_picked_spots, classes/__init__.py:4039-4122,
+        which scatter-plots picked spots over the max projection)."""
+        from .figures.plots import plot_spot_overlay
+
+        if not hasattr(self, "picked_traces"):
+            self._pick_spots()
+        trace = self.picked_traces[chrom_index]
+        ok = np.isfinite(trace[:, 1])
+        spots = np.zeros((int(ok.sum()), 4), np.float32)
+        spots[:, 1:4] = trace[ok][:, 1:4]
+        return plot_spot_overlay(np.asarray(im), spots, ax=ax)
+
+    # -- domain calling (reference Cell_Data._domain_calling :4440-4443,
+    #    a stub(`pass`); the working implementation is Cell_List.
+    #    _batch_domain_calling :2218-2370, whose per-cell core this is) ----
+
+    def _domain_calling(self, method: str = "basic",
+                        chrom_index: int = 0, **kwargs) -> np.ndarray:
+        """Domain boundary starts for one picked chromosome trace;
+        method 'basic' | 'iterative' | 'insulation' | 'sliding-window' |
+        'contact-correlation' (analysis.domains)."""
+        import jax.numpy as jnp
+
+        from .analysis import domains as D
+
+        if not hasattr(self, "picked_traces"):
+            self._pick_spots()
+        zxys = (self.picked_traces[chrom_index][:, 1:4]
+                * self.pixel_size[None])
+
+        def _insulation(z, **kw):
+            dm = np.asarray(distance_map(jnp.asarray(z)))
+            return D.insulation_domain_calling(dm, **kw)
+
+        fns = {"basic": D.basic_domain_calling,
+               "iterative": D.iterative_domain_calling,
+               "insulation": _insulation,
+               "sliding-window": D.sliding_window_domain_calling,
+               "contact-correlation": D.contact_correlation_domain_calling}
+        if method not in fns:
+            raise ValueError(f"method {method!r} not in {sorted(fns)}")
+        return np.asarray(fns[method](zxys, **kwargs))
+
     # -- RNA -> DNA merge (reference _merge_RNA_to_DNA, :4274-4327) --------
 
     def _merge_RNA_to_DNA(self, source: "CellData",
@@ -212,6 +422,176 @@ class CellList:
                     continue
                 spots = store.load_all_spots(data_type)
             self.cells.append(CellData(spots))
+        return self.cells
+
+    # -- experiment metadata (reference _load_color_info etc.,
+    #    classes/__init__.py:337-406) --------------------------------------
+
+    def _load_color_info(self, color_filename: str = "Color_Usage"):
+        from .io.color_usage import load_color_usage
+        self.color_usage = load_color_usage(self.driver.data_folder,
+                                            filename=color_filename)
+        return self.color_usage
+
+    def _load_encoding_scheme(self,
+                              encoding_filename: str = "Encoding_Scheme"):
+        from .io.color_usage import load_encoding_scheme
+        self.encoding_scheme = load_encoding_scheme(
+            self.driver.data_folder, encoding_filename=encoding_filename)
+        return self.encoding_scheme
+
+    def _load_genomic_regions(self, filename: str = "Region_Positions"):
+        from .io.color_usage import load_region_positions
+        self.region_positions = load_region_positions(
+            self.driver.save_folder, filename=filename)
+        return self.region_positions
+
+    def _load_rna_info(self, filename: str = "RNA_Info"):
+        from .io.color_usage import load_rna_info
+        self.rna_info = load_rna_info(self.driver.save_folder,
+                                      filename=filename)
+        return self.rna_info
+
+    def _load_gene_info(self, filename: str = "Gene_Info"):
+        from .io.color_usage import load_gene_info
+        self.gene_info = load_gene_info(self.driver.save_folder,
+                                        filename=filename)
+        return self.gene_info
+
+    # -- batch chromosome/pick drivers (reference
+    #    _get_chromosomes_for_cells :1299-1372,
+    #    _pick_spots_for_cells :1533-1627) ---------------------------------
+
+    def _get_chromosomes_for_cells(self, expected_per_nucleus: int = 2,
+                                   **kwargs) -> List[np.ndarray]:
+        """Identify chromosome centers per FOV and attach them to the
+        FOV's CellData (reference _get_chromosomes_for_cells,
+        classes/__init__.py:1299-1372, which seeds the chromosome image
+        per cell).  Requires `_create_cells` first; cells map 1:1 to
+        FOVs here (segmentation gating happens upstream)."""
+        if not self.cells:
+            self._create_cells()
+        out = []
+        for fov, cell in zip(self.driver.fovs, self.cells):
+            coords, _, _ = self.driver.identify_chromosomes(
+                fov, expected_per_nucleus=expected_per_nucleus, **kwargs)
+            cell.chrom_coords = [np.asarray(c) for c in coords]
+            out.append(np.asarray(coords))
+        return out
+
+    def _pick_spots_for_cells(self, method: str = "EM",
+                              **kwargs) -> List[List[np.ndarray]]:
+        """Pick traces for every cell (reference _pick_spots_for_cells,
+        classes/__init__.py:1533-1627)."""
+        return [cell._pick_spots(method=method, **kwargs)
+                for cell in self.cells]
+
+    # -- intensity statistics + p-value screen (reference
+    #    _get_intensity_stats :1886-2001, _p_value_filter :2002-2094) ------
+
+    def _get_intensity_stats(self) -> Dict[int, Dict[str, float]]:
+        """Pool candidate-spot intensities per region id across all cells
+        and fit a per-region Gaussian (reference _get_intensity_stats,
+        classes/__init__.py:1886-2001, which gaussian-fits the pooled
+        per-region intensities for the p-value filter).  Returns
+        {region_id: {'median', 'mean', 'std', 'params': (mu, sigma)}}."""
+        pooled: Dict[int, List[np.ndarray]] = {}
+        for cell in self.cells:
+            for rid, sp in cell.cand_spots.items():
+                sp = np.asarray(sp)
+                if len(sp):
+                    pooled.setdefault(int(rid), []).append(sp[:, 0])
+        stats = {}
+        for rid, chunks in pooled.items():
+            v = np.concatenate(chunks)
+            if not len(v):
+                continue
+            mu, sigma = float(np.mean(v)), float(np.std(v) + 1e-12)
+            stats[rid] = {"median": float(np.median(v)),
+                          "mean": mu, "std": sigma,
+                          "params": (mu, sigma)}
+        self.intensity_stats = stats
+        return stats
+
+    def _p_value_filter(self, pval_th=(1e-6, 0.01),
+                        ref_dist_params: Optional[Dict] = None
+                        ) -> List[Dict[int, np.ndarray]]:
+        """Ternary intensity flags per candidate spot under the
+        per-region Gaussian reference distribution (reference
+        _p_value_filter, classes/__init__.py:2002-2094): one-sided
+        survival p = sf((intensity - mu) / sigma); flag +1 when
+        p < min(pval_th) (significantly brighter than the reference
+        distribution), -1 when p >= max(pval_th) (not significant),
+        else 0.  Returns per-cell {region_id: int8 flags}, also stored
+        as `cell.pval_flags`."""
+        from math import erf, sqrt
+
+        params = ref_dist_params or getattr(self, "intensity_stats",
+                                            None) or \
+            self._get_intensity_stats()
+        lo, hi = float(min(pval_th)), float(max(pval_th))
+        out = []
+        for cell in self.cells:
+            flags: Dict[int, np.ndarray] = {}
+            for rid, sp in cell.cand_spots.items():
+                sp = np.asarray(sp)
+                st = params.get(int(rid))
+                if st is None or not len(sp):
+                    flags[int(rid)] = np.zeros(len(sp), np.int8)
+                    continue
+                mu, sigma = st["params"]
+                z = (sp[:, 0] - mu) / sigma
+                # one-sided survival function of N(0, 1)
+                pv = np.array([0.5 * (1.0 - erf(x / sqrt(2.0)))
+                               for x in z])
+                f = np.zeros(len(sp), np.int8)
+                f[pv < lo] = 1
+                f[pv >= hi] = -1
+                flags[int(rid)] = f
+            cell.pval_flags = flags
+            out.append(flags)
+        return out
+
+    # -- batch domain calling (reference _batch_domain_calling,
+    #    :2218-2370) -------------------------------------------------------
+
+    def _batch_domain_calling(self, method: str = "iterative",
+                              **kwargs) -> List[List[np.ndarray]]:
+        """Domain starts for every picked chromosome of every cell
+        (reference _batch_domain_calling, classes/__init__.py:2218-2370;
+        per-trace core = CellData._domain_calling)."""
+        out = []
+        for cell in self.cells:
+            if not hasattr(cell, "picked_traces"):
+                cell._pick_spots()
+            out.append([cell._domain_calling(method=method, chrom_index=i,
+                                             **kwargs)
+                        for i in range(len(cell.picked_traces))])
+        return out
+
+    # -- cell checkpointing (reference _save_cells_to_files :1263-1298,
+    #    _load_cells_from_files :1221-1262) --------------------------------
+
+    def _save_cells_to_files(self, folder: Optional[str] = None) -> List[str]:
+        import os
+        folder = folder or self.driver.save_folder
+        os.makedirs(folder, exist_ok=True)
+        paths = []
+        for i, cell in enumerate(self.cells):
+            p = os.path.join(folder, f"cell_{i}.npz")
+            cell._save_to_file(p)
+            paths.append(p)
+        return paths
+
+    def _load_cells_from_files(self, folder: Optional[str] = None
+                               ) -> List[CellData]:
+        import glob
+        import os
+        folder = folder or self.driver.save_folder
+        paths = sorted(glob.glob(os.path.join(folder, "cell_*.npz")),
+                       key=lambda p: int(
+                           os.path.basename(p)[5:-4]))
+        self.cells = [CellData._load_from_file(p) for p in paths]
         return self.cells
 
     def _calculate_population_map(self, stat_type: str = "median",

@@ -114,3 +114,150 @@ def test_cell_data_rna_merge_and_crop(tmp_path):
     assert len(crops) == 4
     im = next(iter(crops.values()))
     assert im.shape == (SHAPE[0], 80 - 40 + 8, 90 - 30 + 8)
+
+
+def test_cell_data_save_load_roundtrip(tmp_path):
+    """_save_to_file / _load_from_file carry cand_spots, chrom_coords,
+    picked traces and distance maps (reference cell_info checkpoint,
+    classes/__init__.py:3012-3446)."""
+    rng = np.random.default_rng(2)
+    cand, _ = _cand_spots(rng)
+    cell = CellData(cand, chrom_coords=[np.array([6.0, 60.0, 60.0])])
+    cell._pick_spots(method="EM")
+    cell._generate_distance_map()
+    p = str(tmp_path / "cell0.npz")
+    cell._save_to_file(p)
+    back = CellData._load_from_file(p)
+    assert set(back.cand_spots) == set(cand)
+    np.testing.assert_array_equal(back.cand_spots[3], cand[3])
+    np.testing.assert_array_equal(back.chrom_coords[0],
+                                  cell.chrom_coords[0])
+    np.testing.assert_array_equal(back.picked_traces[0],
+                                  cell.picked_traces[0])
+    np.testing.assert_array_equal(back.distance_maps[0],
+                                  cell.distance_maps[0])
+
+
+def test_cell_data_check_full_set_and_background():
+    rng = np.random.default_rng(4)
+    cand, _ = _cand_spots(rng, n_regions=6)
+    cell = CellData(cand)
+    assert cell._check_full_set(range(6))
+    assert not cell._check_full_set(range(7))
+    ims = {"750": [np.full((4, 8, 8), 100.0) + i for i in range(3)],
+           "647": [np.full((4, 8, 8), 50.0)]}
+    bg = CellData._calculate_background(ims, function_type="median")
+    assert bg["750"] == pytest.approx(101.0)
+    assert bg["647"] == pytest.approx(50.0)
+    with pytest.raises(KeyError):
+        CellData._calculate_background(ims, function_type="max")
+
+
+def test_cell_data_identify_and_multifit():
+    """_identify_chromosomes seeds the planted chromosome centers and
+    _multi_fitting_for_chromosome fills cand_spots around them."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    shape = (12, 96, 96)
+    chrom_centers = np.array([[6.0, 30.0, 30.0], [6.0, 70.0, 64.0]])
+    base = syn.render_spots_device(
+        shape, chrom_centers, np.array([3000.0, 2800.0]),
+        background=100.0, sigma_zxy=(2.0, 4.0, 4.0))
+    chrom_im = np.asarray(syn.noisy_uint16_device(base, seed=1),
+                          np.float32)
+    cell = CellData({})
+    coords = cell._identify_chromosomes(chrom_im, th_seed=500.0,
+                                        expected_per_nucleus=2)
+    assert len(cell.chrom_coords) >= 2
+    d = np.linalg.norm(coords[:, None] - chrom_centers[None], axis=2)
+    assert (d.min(axis=0) < 3.0).all()
+
+    # region image: one spot near each chromosome
+    spot_centers = chrom_centers + [[0.0, 3.0, -2.0], [0.0, -3.0, 2.0]]
+    im = np.asarray(syn.noisy_uint16_device(
+        syn.render_spots_device(shape, spot_centers,
+                                np.array([2500.0, 2500.0]),
+                                background=100.0), seed=2), np.float32)
+    out = cell._multi_fitting_for_chromosome({5: im}, fit_window=24,
+                                             th_seed=400.0,
+                                             max_seed_count=4)
+    assert 5 in out and len(out[5]) >= 2
+    dd = np.linalg.norm(out[5][:, None, 1:4]
+                        - spot_centers[None], axis=2)
+    assert (dd.min(axis=0) < 0.5).all()
+
+
+def test_cell_list_intensity_stats_and_pval():
+    """Intensity stats pool per region; p-value flags are the reference's
+    ternary one-sided-sf flags (classes/__init__.py:2050-2070)."""
+    rng = np.random.default_rng(9)
+    cand, _ = _cand_spots(rng)
+
+    class _FakeDriver:
+        data_folder = save_folder = "."
+        fovs = []
+
+    cl = CellList.__new__(CellList)
+    cl.driver = _FakeDriver()
+    cl.cells = [CellData(cand)]
+    stats = cl._get_intensity_stats()
+    assert set(stats) == set(range(20))
+    pooled = cand[0][:, 0]
+    assert stats[0]["mean"] == pytest.approx(float(np.mean(pooled)))
+    flags = cl._p_value_filter(pval_th=(1e-6, 0.01))
+    f0 = flags[0][0]
+    assert f0.dtype == np.int8 and set(np.unique(f0)) <= {-1, 0, 1}
+    # a 10-sigma outlier must be flagged +1
+    hot = dict(cand)
+    hot[0] = hot[0].copy()
+    hot[0][0, 0] = stats[0]["mean"] + 10 * stats[0]["std"]
+    cl.cells = [CellData(hot)]
+    flags = cl._p_value_filter(pval_th=(1e-6, 0.01),
+                               ref_dist_params=stats)
+    assert flags[0][0][0] == 1
+
+
+def test_cell_data_domain_calling_and_batch():
+    """Per-cell domain calling dispatches every analysis.domains variant
+    on the picked trace (reference Cell_List._batch_domain_calling,
+    classes/__init__.py:2218-2370)."""
+    rng = np.random.default_rng(11)
+    cand, _ = _cand_spots(rng, n_regions=24)
+    cell = CellData(cand)
+    cell._pick_spots(method="EM")
+    starts = cell._domain_calling(method="basic")
+    assert starts.ndim == 1 and starts[0] == 0
+    with pytest.raises(ValueError):
+        cell._domain_calling(method="nope")
+
+    class _FakeDriver:
+        data_folder = save_folder = "."
+        fovs = []
+
+    cl = CellList.__new__(CellList)
+    cl.driver = _FakeDriver()
+    cl.cells = [cell]
+    batch = cl._batch_domain_calling(method="basic")
+    np.testing.assert_array_equal(batch[0][0], starts)
+
+
+def test_cell_list_save_load_cells(tmp_path):
+    rng = np.random.default_rng(13)
+
+    class _FakeDriver:
+        data_folder = "."
+        save_folder = str(tmp_path)
+        fovs = []
+
+    cl = CellList.__new__(CellList)
+    cl.driver = _FakeDriver()
+    cl.cells = [CellData(_cand_spots(rng)[0]) for _ in range(3)]
+    paths = cl._save_cells_to_files()
+    assert len(paths) == 3
+    cl2 = CellList.__new__(CellList)
+    cl2.driver = _FakeDriver()
+    cells = cl2._load_cells_from_files()
+    assert len(cells) == 3
+    np.testing.assert_array_equal(cells[1].cand_spots[2],
+                                  cl.cells[1].cand_spots[2])

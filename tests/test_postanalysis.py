@@ -220,3 +220,43 @@ def test_extract_sequences_splits_domains():
     segs = extract_sequences(zxy, [0, 4, 7])
     assert [len(s) for s in segs] == [4, 3, 3]
     assert np.allclose(np.vstack(segs), zxy)
+
+
+def test_normalize_center_spots():
+    """Pixel->isotropic rescale, centering, variance normalization and
+    PCA alignment (reference spot_tools/translating.py:12-93), across
+    all three accepted row formats with NaN pass-through."""
+    from imageanalysis3_tpu.analysis import normalize_center_spots
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(0, 1, 3)
+    d /= np.linalg.norm(d)
+    pts = d[None] * rng.normal(0, 5, (50, 1)) + rng.normal(0, 0.5, (50, 3))
+
+    out = normalize_center_spots(pts, scale_variance=True)
+    assert abs(np.nanvar(out, axis=0).sum() - 1.0) < 1e-9
+    v = np.nanvar(out, axis=0)
+    assert v[0] > v[1] >= v[2]
+    assert np.abs(np.nanmean(out, 0)).max() < 1e-9
+
+    # hzxy format keeps intensity untouched
+    hz = np.column_stack([np.full(50, 7.0), pts])
+    out4 = normalize_center_spots(hz)
+    np.testing.assert_array_equal(out4[:, 0], hz[:, 0])
+
+    # 11-column rows: coords at 1:4 and widths at 5:8 get the
+    # anisotropy rescale; NaN rows pass through the PCA untouched
+    rows = np.zeros((6, 11))
+    rows[:, 1:4] = pts[:6]
+    rows[:, 5:8] = 2.0
+    rows[3, 1:4] = np.nan
+    out11, pca = normalize_center_spots(rows, return_pca=True)
+    assert pca.shape == (3, 3)
+    np.testing.assert_allclose(np.abs(np.linalg.det(pca)), 1.0,
+                               rtol=1e-9)
+    assert np.isnan(out11[3, 1:4]).all()
+    keep = [0, 1, 2, 4, 5]
+    assert np.isfinite(out11[keep][:, 1:4]).all()
+    # width anisotropy rescale: wz scaled by z/xy pixel ratio
+    np.testing.assert_allclose(out11[keep][:, 5], 2.0 * 200.0 / 108.0)
+    np.testing.assert_allclose(out11[keep][:, 6], 2.0)
