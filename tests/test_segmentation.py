@@ -415,3 +415,59 @@ def test_select_candidate_chromosomes_removes_unsupported():
     # empty candidates / empty rounds degenerate cleanly
     sel0, kept0 = select_candidate_chromosomes(np.zeros((0, 3)), spots_list)
     assert len(sel0) == 0 and len(kept0) == 0
+
+
+def test_fit_unet_textured_nuclei_iou_distribution():
+    """Raised learned-path quality gate (VERDICT r4): TEXTURED nuclei —
+    per-nucleus intensity gradients, multiplicative speckle, uneven
+    background, and a touching pair — must segment at per-cell
+    IoU > 0.8 through the full trained path (net -> flows -> dynamics).
+    The IoU distribution is asserted per cell, not pooled, so one bad
+    nucleus fails the gate."""
+    from imageanalysis3_tpu.segmentation import learned as L
+
+    shape = (8, 72, 72)
+    truth = np.zeros(shape, np.int32)
+    # touching pair + two isolated nuclei
+    truth[_ellipsoid_mask(shape, (4, 18, 20), (3, 9, 9))] = 1
+    truth[_ellipsoid_mask(shape, (4, 34, 26), (3, 9, 9))] = 2
+    truth[_ellipsoid_mask(shape, (4, 54, 50), (3, 8, 10))] = 3
+    truth[_ellipsoid_mask(shape, (4, 18, 52), (3, 8, 8))] = 4
+
+    rng = np.random.default_rng(5)
+    im = np.full(shape, 80.0, np.float32)
+    # uneven background: smooth xy ramp
+    yy, xx = np.meshgrid(np.linspace(0, 40, shape[2]),
+                         np.linspace(0, 25, shape[1]))
+    im += (xx + yy)[None].astype(np.float32)
+    for t in range(1, 5):
+        m = truth == t
+        # per-nucleus brightness + linear internal gradient along a
+        # random direction (chromatin-like unevenness)
+        base = rng.uniform(500.0, 1100.0)
+        gdir = rng.normal(0, 1, 3)
+        gdir /= np.linalg.norm(gdir)
+        zz, xxs, yys = np.nonzero(m)
+        proj = (np.stack([zz, xxs, yys], 1)
+                - np.array([np.mean(zz), np.mean(xxs), np.mean(yys)])) \
+            @ gdir
+        im[m] += base * (1.0 + 0.35 * proj / max(np.abs(proj).max(),
+                                                 1e-6))
+    # multiplicative speckle + read noise
+    im *= rng.lognormal(0.0, 0.15, shape).astype(np.float32)
+    im += rng.normal(0, 25.0, shape).astype(np.float32)
+    im = im[None]
+
+    params = L.init_unet_params(jax.random.PRNGKey(3), in_channels=1,
+                                base=12, levels=2)
+    params = L.fit_unet(params, [im], [truth], n_steps=400, lr=2e-3)
+    labels = np.asarray(L.segment_cells_learned(
+        jnp.asarray(im), params, max_cells=8, min_count=10))
+    assert labels.max() >= 4
+    ious = []
+    for t in range(1, 5):
+        best = max(_iou(labels == l, truth == t)
+                   for l in range(1, labels.max() + 1))
+        ious.append(round(float(best), 3))
+    # published distribution: fails below 0.8 per cell
+    assert min(ious) > 0.8, f"per-cell IoU {ious}"
