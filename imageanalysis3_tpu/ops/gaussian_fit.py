@@ -244,6 +244,42 @@ def _jt_analytic(params: jnp.ndarray, pixels: jnp.ndarray,
     return Jt * maskf[None], r
 
 
+def _batched_lm(pixels: jnp.ndarray, coords: jnp.ndarray,
+                mask: jnp.ndarray, centers: jnp.ndarray,
+                delta_vec: jnp.ndarray, min_w: float, max_w: float,
+                init_w: float, lm_iters: int,
+                params0: Optional[jnp.ndarray],
+                analytic_jac: bool, backend: str
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-fit N gathered blocks -> (params (N, 10), eps (N,)).
+
+    backend "xla": the vmapped `lm_fit_single` engine.  "pallas" /
+    "pallas_interpret": the fused VMEM-resident kernel (ops/pallas_lm.py)
+    — same model, same CG solve, one kernel for all `lm_iters`
+    iterations instead of per-iteration HBM round-trips."""
+    if backend in ("pallas", "pallas_interpret"):
+        if params0 is None:
+            params0 = jax.vmap(
+                lambda px, mk, co, ce, dl: init_params(
+                    px, mk, min_w, max_w, init_w, coords=co,
+                    center_est=ce, delta=dl))(
+                pixels, mask, coords, centers, delta_vec)
+        from .pallas_lm import lm_fit_pallas
+
+        return lm_fit_pallas(pixels, coords, mask, centers, delta_vec,
+                             params0, min_w, max_w, lm_iters=lm_iters,
+                             interpret=(backend == "pallas_interpret"))
+    if params0 is None:
+        fit = jax.vmap(lambda px, co, mk, ce, dl: lm_fit_single(
+            px, co, mk, ce, dl, min_w, max_w, init_w, lm_iters,
+            analytic_jac=analytic_jac))
+        return fit(pixels, coords, mask, centers, delta_vec)
+    fit = jax.vmap(lambda px, co, mk, ce, dl, p0: lm_fit_single(
+        px, co, mk, ce, dl, min_w, max_w, init_w, lm_iters,
+        params0=p0, analytic_jac=analytic_jac))
+    return fit(pixels, coords, mask, centers, delta_vec, params0)
+
+
 def rebase_center_params(params: jnp.ndarray, center_est: jnp.ndarray,
                          old_delta: float, new_delta: float) -> jnp.ndarray:
     """Re-express the sigmoid-boxed center under a different delta box so a
@@ -422,7 +458,7 @@ class FitResult(NamedTuple):
 @partial(jax.jit, static_argnames=(
     "radius", "min_w", "max_w", "init_w", "min_delta_center",
     "max_delta_center", "lm_iters", "n_max_iter", "max_dist_th",
-    "max_neighbors", "max_contested", "analytic_jac"))
+    "max_neighbors", "max_contested", "analytic_jac", "lm_backend"))
 def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
                          seeds_valid: jnp.ndarray,
                          radius: int = 5,
@@ -435,7 +471,8 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
                          max_dist_th: float = 0.1,
                          max_neighbors: int = 12,
                          max_contested: Optional[int] = None,
-                         analytic_jac: bool = True) -> FitResult:
+                         analytic_jac: bool = True,
+                         lm_backend: str = "auto") -> FitResult:
     """Fit all seeds concurrently with block-synchronous subtract-refit.
 
     Round 0 mirrors the reference `firstfit` (ownership-masked pixels)
@@ -460,6 +497,13 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
     step < max_dist_th) is tracked throughout; `n_contested` reports the
     true contested count so callers can detect overflow.
     """
+    backend = lm_backend
+    if backend == "auto":
+        # mirror ops/seeding.py's fused-path gate: the Pallas LM kernel
+        # only on real TPU backends; the CPU suite covers it under
+        # interpret=True via lm_backend="pallas_interpret"
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
     imf = im.astype(jnp.float32)
     n = seeds_zxy.shape[0]
     pixels, coords, base_mask = gather_blocks(imf, seeds_zxy, radius)
@@ -481,10 +525,9 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
         delta0 = jnp.where(contested, min_delta_center, max_delta_center)
     else:
         delta0 = jnp.full(n, min_delta_center, jnp.float32)
-    fit0 = jax.vmap(lambda px, co, mk, ce, dl: lm_fit_single(
-        px, co, mk, ce, dl, min_w, max_w, init_w, lm_iters,
-        analytic_jac=analytic_jac))
-    params, eps = fit0(pixels, coords, base_mask & own, centers_est, delta0)
+    params, eps = _batched_lm(pixels, coords, base_mask & own,
+                              centers_est, delta0, min_w, max_w, init_w,
+                              lm_iters, None, analytic_jac, backend)
 
     def natural(p, ce, e, delta):
         return to_natural(p, ce, delta, min_w, max_w, e)
@@ -522,10 +565,11 @@ def iter_fit_seed_points(im: jnp.ndarray, seeds_zxy: jnp.ndarray,
     repeat_iters = max(8, lm_iters // 3)
 
     def refit(target_k, coords_k, mask_k, ce_k, p0_k):
-        fitk = jax.vmap(lambda px, co, mk, ce, p0: lm_fit_single(
-            px, co, mk, ce, max_delta_center, min_w, max_w, init_w,
-            repeat_iters, params0=p0, analytic_jac=analytic_jac))
-        new_params, new_eps = fitk(target_k, coords_k, mask_k, ce_k, p0_k)
+        delta_k = jnp.full(target_k.shape[0], max_delta_center,
+                           jnp.float32)
+        new_params, new_eps = _batched_lm(
+            target_k, coords_k, mask_k, ce_k, delta_k, min_w, max_w,
+            init_w, repeat_iters, p0_k, analytic_jac, backend)
         new_nat = jax.vmap(
             lambda p, ce, e: natural(p, ce, e, max_delta_center))(
             new_params, ce_k, new_eps)

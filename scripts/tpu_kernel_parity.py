@@ -160,6 +160,33 @@ def main():
             f"selected-set diff={n_seldiff}/{n_sel} "
             f"max rel Δsignal={max_rel:.4f} (compile+run {t_k:.1f}s)")
 
+    # ---- 5. fused LM kernel vs the vmapped XLA engine -----------------
+    from imageanalysis3_tpu.ops import gaussian_fit as gf
+
+    seeds = seeding.get_seeds(im, max_num_seeds=2048, th_seed=th,
+                              pyramid_bg=True)
+    coords = seeds.coords.astype(jnp.float32)
+    t0 = time.perf_counter()
+    r_p = gf.iter_fit_seed_points(im, coords, seeds.valid, lm_iters=8,
+                                  n_max_iter=6, lm_backend="pallas")
+    jax.block_until_ready(r_p.spots)
+    t_k = time.perf_counter() - t0
+    r_x = gf.iter_fit_seed_points(im, coords, seeds.valid, lm_iters=8,
+                                  n_max_iter=6, lm_backend="xla")
+    jax.block_until_ready(r_x.spots)
+    valid_same = bool(jnp.all(r_p.valid == r_x.valid))
+    both_v = r_p.valid & r_x.valid
+    d_cen = float(jnp.max(jnp.where(
+        both_v[:, None], jnp.abs(r_p.spots[:, 1:4] - r_x.spots[:, 1:4]),
+        0.0)))
+    d_h = float(jnp.max(jnp.where(
+        both_v, jnp.abs(r_p.spots[:, 0] - r_x.spots[:, 0])
+        / jnp.maximum(r_x.spots[:, 0], 1e-6), 0.0)))
+    verdict("lm_fit_pallas",
+            valid_same and d_cen < 5e-3 and d_h < 0.05,
+            f"valid_same={valid_same} max|Δcenter|={d_cen:.2e}px "
+            f"max relΔh={d_h:.2e} (compile+run {t_k:.1f}s)")
+
     ok = all(results.values())
     print(("ALL PASS" if ok else "FAILURES: "
            + ", ".join(k for k, v in results.items() if not v))

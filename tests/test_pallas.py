@@ -184,3 +184,64 @@ def test_pyramid_classify_buffer_alignment_shapes(shape):
     sel_e = np.isfinite(np.asarray(q_e)) & (np.asarray(q_e) >= 300.0)
     sel_p = np.isfinite(np.asarray(q_p)) & (np.asarray(q_p) >= 300.0)
     np.testing.assert_array_equal(sel_e, sel_p)
+
+
+def test_lm_fit_pallas_matches_xla_engine():
+    """Fused LM kernel (interpret mode): same constrained params, centers
+    and validity as the vmapped XLA engine through the full
+    iter_fit_seed_points pipeline (round-0 + Jacobi rounds)."""
+    import jax.numpy as jnp
+    from imageanalysis3_tpu import synthetic as syn
+    from imageanalysis3_tpu.ops import gaussian_fit as gf
+
+    shape = (24, 96, 128)
+    rng = np.random.default_rng(0)
+    truth = syn.sample_spot_params(shape, 24, rng, min_separation=7.0)
+    base = syn.render_spots_device(shape, truth["centers"],
+                                   truth["heights"],
+                                   background=truth["background"])
+    im = jnp.asarray(np.asarray(syn.noisy_uint16_device(base, seed=3)),
+                     jnp.float32)
+    seeds = jnp.asarray(truth["centers"].round(), jnp.float32)
+    valid = jnp.ones(seeds.shape[0], bool)
+
+    r_x = gf.iter_fit_seed_points(im, seeds, valid, lm_iters=8,
+                                  n_max_iter=3, lm_backend="xla")
+    r_p = gf.iter_fit_seed_points(im, seeds, valid, lm_iters=8,
+                                  n_max_iter=3,
+                                  lm_backend="pallas_interpret")
+    vx = np.asarray(r_x.valid)
+    np.testing.assert_array_equal(vx, np.asarray(r_p.valid))
+    sx = np.asarray(r_x.spots)[vx]
+    sp = np.asarray(r_p.spots)[vx]
+    # centers: transcendental-op differences only (~1e-5 px)
+    np.testing.assert_allclose(sp[:, 1:4], sx[:, 1:4], atol=1e-3)
+    # heights/widths: relative
+    np.testing.assert_allclose(sp[:, 0], sx[:, 0], rtol=1e-2)
+    np.testing.assert_allclose(sp[:, 5:8], sx[:, 5:8], atol=1e-3)
+
+
+def test_lm_fit_pallas_padding_lanes():
+    """N not a multiple of the 128-lane block and invalid seeds: padded
+    and masked spots stay finite and do not perturb real fits."""
+    import jax.numpy as jnp
+    from imageanalysis3_tpu import synthetic as syn
+    from imageanalysis3_tpu.ops import gaussian_fit as gf
+
+    shape = (16, 64, 128)
+    rng = np.random.default_rng(1)
+    truth = syn.sample_spot_params(shape, 5, rng, min_separation=9.0)
+    base = syn.render_spots_device(shape, truth["centers"],
+                                   truth["heights"],
+                                   background=truth["background"])
+    im = jnp.asarray(np.asarray(syn.noisy_uint16_device(base, seed=2)),
+                     jnp.float32)
+    seeds = jnp.asarray(truth["centers"].round(), jnp.float32)
+    valid = jnp.asarray([True, True, True, True, False])
+
+    res = gf.iter_fit_seed_points(im, seeds, valid, lm_iters=6,
+                                  n_max_iter=2,
+                                  lm_backend="pallas_interpret")
+    v = np.asarray(res.valid)
+    assert v[:4].all() and not v[4]
+    assert np.isfinite(np.asarray(res.spots)[v]).all()
