@@ -653,7 +653,8 @@ def _pyramid_stencil_kernel(params_smem, axf_ref, wlf_ref, wrf_ref,
                             ux_ref, uy_ref, fg_hbm, bgs_hbm,
                             qdiff_out, hist_out,
                             fgv, bgsv, ring_fg, ring_bg, sem,
-                            *, n_lvl_static: int):
+                            *, n_lvl_static: int,
+                            zk: "tuple | None" = None):
     """One (x-block, z-step): xy-blur the z-passed FOREGROUND plane,
     bilinearly upsample the pooled-and-blurred BACKGROUND plane, push
     both into 3-slot rings, then emit the 3^3 stencil + level classify
@@ -670,13 +671,22 @@ def _pyramid_stencil_kernel(params_smem, axf_ref, wlf_ref, wrf_ref,
     blur/upsample compute (the start->wait-per-step form was
     latency-serialized at ~2k grid steps and left the kernel ~1.7x off
     its bandwidth bound).
+
+    When `zk` (7 static z-blur taps, radius 3) is given, `fg_hbm` is the
+    padded RAW stack and the fg z-pass happens HERE: raw planes stream
+    through an 8-slot VMEM ring (planes k-3..k+3 live, +1 prefetch) and
+    blurred plane k is the 7-tap f32 weighted sum of ring slots — the
+    z-passed stack never exists in HBM, removing the host-side pad+einsum
+    round-trip (~2.2 GB + 3x bf16 operand re-reads at 60x2048x2048).
+    Boundary planes mirror symmetrically (scipy 'reflect'), matching the
+    band matrix the einsum path uses.
     """
     i = pl.program_id(0)
     k = pl.program_id(1)
     nz = pl.num_programs(1) - 1
     nring, bxe, ycore = ring_fg.shape           # (3, BX+8, Y)
     bx = bxe - 8
-    nslots, bxw, yp = fgv.shape                  # (2, BX+32, Y+128)
+    nslots, bxw, yp = fgv.shape                  # (2 | 8, BX+32, Y+128)
     nb = (yp - 128) // 128
 
     th = params_smem[0]
@@ -711,7 +721,15 @@ def _pyramid_stencil_kernel(params_smem, axf_ref, wlf_ref, wrf_ref,
         return (jnp.dot(ah, w_bf16, preferred_element_type=f32)
                 + jnp.dot(al, w_bf16, preferred_element_type=f32))
 
+    fz_mirror = params_smem[3].astype(jnp.int32)
+
     def fg_dma(slot, plane):
+        if zk is not None:
+            # symmetric-reflect plane index: raw planes outside [0, z)
+            # mirror back in (band-matrix 'reflect' semantics)
+            plane = jnp.where(plane < 0, -plane - 1, plane)
+            plane = jnp.where(plane >= fz_mirror,
+                              2 * fz_mirror - 1 - plane, plane)
         return pltpu.make_async_copy(
             fg_hbm.at[plane, pl.ds(i * bx + 24, bxw), :],
             fgv.at[slot], sem.at[0, slot])
@@ -723,22 +741,45 @@ def _pyramid_stencil_kernel(params_smem, axf_ref, wlf_ref, wrf_ref,
 
     @pl.when(k == 0)
     def _warmup():
-        fg_dma(0, 0).start()
+        if zk is None:
+            fg_dma(0, 0).start()
+        else:
+            # blurred plane 0 needs raw planes -3..3 (mirrored); slot(p)
+            # = (p + 3) % 8 so the steady-state ring holds k-3..k+4
+            for p in range(-3, 4):
+                fg_dma((p + 3) % 8, jnp.int32(p)).start()
         bg_dma(0, 0).start()
 
     @pl.when(k + 1 < nz)
     def _prefetch():
-        nxt = jax.lax.rem(k + 1, 2)
-        fg_dma(nxt, k + 1).start()
-        bg_dma(nxt, k + 1).start()
+        if zk is None:
+            fg_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+        else:
+            # blur at step k+1 needs raw plane k+4 -> slot (k+7) % 8,
+            # overwriting plane k-4 (last read at step k-1)
+            fg_dma(jax.lax.rem(k + 7, 8), k + 4).start()
+        bg_dma(jax.lax.rem(k + 1, 2), k + 1).start()
 
     @pl.when(k < nz)
     def _load_and_blur():
         cur = jax.lax.rem(k, 2)
-        fg_dma(cur, k).wait()
+        if zk is None:
+            fg_dma(cur, k).wait()
+            zblur = fgv[cur]
+        else:
+            @pl.when(k == 0)
+            def _wait_warmup():
+                for p in range(-3, 3):
+                    fg_dma((p + 3) % 8, jnp.int32(p)).wait()
+
+            fg_dma(jax.lax.rem(k + 6, 8), k + 3).wait()
+            zblur = zk[0] * fgv[pl.ds(jax.lax.rem(k, 8), 1)][0]
+            for j in range(1, 7):
+                zblur = zblur + zk[j] * fgv[
+                    pl.ds(jax.lax.rem(k + j, 8), 1)][0]
         bg_dma(cur, k).wait()
 
-        fxp = dot3(axf_ref[:], fgv[cur])               # (BXE, YP)
+        fxp = dot3(axf_ref[:], zblur)                  # (BXE, YP)
         fb = fxp.reshape(bxe, nb + 1, 128)
         left = fb[:, :nb].reshape(bxe * nb, 128)
         right = fb[:, 1:].reshape(bxe * nb, 128)
@@ -865,9 +906,20 @@ def fused_seed_classify_pyramid(im: jnp.ndarray, sigma_fg: float,
 
     imf = im.astype(jnp.float32)
     imp = jnp.pad(imf, ((0, 0), (40, 40), (64, 64)), mode="symmetric")
-    wz = _band_matrix(z, tuple(k_fg.tolist()), "reflect")
-    fgz = jnp.einsum("zw,wxy->zxy", jnp.asarray(wz), imp,
-                     precision=CONV_PRECISION)
+    # fg z-pass: fused into the kernel when the taps fit its fixed
+    # radius-3 ring (the standard sigma 0.75 -> radius 3) and z is deep
+    # enough for single-mirror boundary indexing; else the banded-matmul
+    # einsum materializes fgz in HBM (the pre-r5 form)
+    fuse_z = r_fg <= 3 and z >= 8
+    if fuse_z:
+        zk = np.zeros(7, np.float32)
+        zk[3 - r_fg:4 + r_fg] = k_fg
+        fg_in = imp
+    else:
+        zk = None
+        wz = _band_matrix(z, tuple(k_fg.tolist()), "reflect")
+        fg_in = jnp.einsum("zw,wxy->zxy", jnp.asarray(wz), imp,
+                           precision=CONV_PRECISION)
 
     # pooled background pyramid: mean-pool 4x4, z-blur at full kernel,
     # xy-blur at sigma/4 (pooling's own bandlimit makes up the rest;
@@ -925,7 +977,8 @@ def fused_seed_classify_pyramid(im: jnp.ndarray, sigma_fg: float,
 
     gx = x // block_x
     qdiff, hist = pl.pallas_call(
-        partial(_pyramid_stencil_kernel, n_lvl_static=n_lvl),
+        partial(_pyramid_stencil_kernel, n_lvl_static=n_lvl,
+                zk=tuple(zk.tolist()) if fuse_z else None),
         grid=(gx, z + 1),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -947,13 +1000,14 @@ def fused_seed_classify_pyramid(im: jnp.ndarray, sigma_fg: float,
             jax.ShapeDtypeStruct((gx, 8, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block_x + 32, y + 128), jnp.float32),
+            pltpu.VMEM((8 if fuse_z else 2, block_x + 32, y + 128),
+                       jnp.float32),
             pltpu.VMEM((2, bxs + 8, ys_buf), jnp.float32),
             pltpu.VMEM((3, bxe, y), jnp.float32),
             pltpu.VMEM((3, bxe, y), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 8)),
         ],
         interpret=interpret,
-    )(params, axf, wlf, wrf, ux, uy, fgz, bgp)
+    )(params, axf, wlf, wrf, ux, uy, fg_in, bgp)
     counts = jnp.sum(hist[:, 0, :n_lvl], axis=0)
     return qdiff, counts
