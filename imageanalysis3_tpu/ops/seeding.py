@@ -247,12 +247,6 @@ def get_seeds(im: jnp.ndarray,
         [0, n_lvl] is a no-op for this comparison since chosen >= 0)."""
         return jnp.ceil((1.0 - q / th) * n_lvl) <= chosen_f
 
-    sel = in_budget(qdiff)
-    if remove_hot_pixel:
-        xy_counts = jnp.sum(sel.astype(jnp.int32), axis=0)   # (X, Y)
-        hot_ok = xy_counts < hot_pixel_th
-        sel = sel & hot_ok[None]
-
     # brightest-first extraction: 2x2x2 block-max reduce, then
     # hierarchical top_k over the 8x-smaller array (a cumsum-based
     # `nonzero` is ~30x slower on TPU — measured 1.76s vs 0.06s at
@@ -262,17 +256,24 @@ def get_seeds(im: jnp.ndarray,
     # in-budget seed; the winner's exact voxel is recovered from the 8
     # block members afterwards.  Exact up to (a) such ties and (b)
     # > row_cap in-budget seeds sharing one reduced row (vanishingly
-    # rare at real densities).  The mask and odd-size padding feed the
-    # strided reduce_window directly (XLA fuses elementwise producers
-    # into reduce-window) so no masked copy of the stack materializes;
-    # a reshape-based reduce would instead materialize a lane-padded
-    # tiled copy (60 GB at FOV scale).
-    masked = jnp.where(sel, qdiff, -jnp.inf)
+    # rare at real densities).  The reduce consumes qdiff RAW: the
+    # budget threshold commutes with max (in_budget is monotone in q),
+    # so it is applied to the 8x-smaller reduced array instead, and the
+    # hot-pixel (xy-duplicate) screen is deferred to candidate recovery
+    # — its full-image form is a second 1 GB read of qdiff to build a
+    # per-(x, y) count that is only ever consulted at the <= cap*8
+    # recovered voxels, where the same count is a (Z, cap, 8) column
+    # gather.  Ranking consequence: a hot voxel can win its 2x2x2 block
+    # and occupy a top-k slot (the seed is then recovered from the
+    # block's non-hot members, or dropped); under seed saturation this
+    # can displace a real block — negligible at physical hot-pixel
+    # densities (a handful per FOV vs capacity 2048).
     pz, px, py = (-shape[0]) % 2, (-shape[1]) % 2, (-shape[2]) % 2
     z2, x2, y2 = [(s + p) // 2 for s, p in zip(shape, (pz, px, py))]
-    red = jax.lax.reduce_window(masked, -jnp.inf, jax.lax.max,
+    red = jax.lax.reduce_window(qdiff, -jnp.inf, jax.lax.max,
                                 (2, 2, 2), (2, 2, 2),
-                                ((0, pz), (0, px), (0, py))).ravel()
+                                ((0, pz), (0, px), (0, py)))
+    red = jnp.where(in_budget(red), red, -jnp.inf).ravel()
     total = red.shape[0]
     row_cap = 16
     rows = max(1, min(16384, total // row_cap))
@@ -309,18 +310,38 @@ def get_seeds(im: jnp.ndarray,
     cxc = jnp.minimum(cx, shape[1] - 1)
     cyc = jnp.minimum(cy, shape[2] - 1)
     cand_q = qdiff[czc, cxc, cyc]                            # (cap, 8)
-    cand_ok = inb & in_budget(cand_q)
+    # rows whose ranked block value is -inf are padding or beyond the
+    # in-budget block count; their block_idx is arbitrary (top_k of -inf
+    # rows / explicit 0-padding), so recovery must not resurrect them
+    cand_ok = inb & in_budget(cand_q) & jnp.isfinite(hts)[:, None]
     if remove_hot_pixel:
-        cand_ok = cand_ok & (xy_counts[cxc, cyc] < hot_pixel_th)
+        # deferred hot screen: in-budget z-count of each candidate's
+        # (x, y) column (exactly the xy_counts the full-image pass built,
+        # gathered only where it is read)
+        col_q = qdiff[:, cxc, cyc]                           # (Z, cap, 8)
+        xy_cnt = jnp.sum(in_budget(col_q).astype(jnp.int32), axis=0)
+        cand_ok = cand_ok & (xy_cnt < hot_pixel_th)
     cand = jnp.where(cand_ok, cand_q, -jnp.inf)
     pick = jnp.argmax(cand, axis=1)
     coords = jnp.stack([cz[jnp.arange(cz.shape[0]), pick],
                         cx[jnp.arange(cz.shape[0]), pick],
                         cy[jnp.arange(cz.shape[0]), pick]], axis=1)
-    valid = jnp.isfinite(hts)
-    hts = jnp.where(valid, hts, 0.0)
+    # heights/validity from the RECOVERED voxel (exact after the hot
+    # screen); a hot-dominated block reports its best surviving member
+    hts_rec = jnp.max(cand, axis=1)
+    valid = jnp.isfinite(hts_rec)
+    if remove_hot_pixel:
+        # the top-k ranking above saw pre-hot block maxima; restore the
+        # by-height output contract over the surviving seeds (2048-row
+        # argsort — noise next to the full-stack passes it replaces)
+        order2 = jnp.argsort(-jnp.where(valid, hts_rec, -jnp.inf))
+        hts_rec = hts_rec[order2]
+        coords = coords[order2]
+        valid = valid[order2]
+    hts = jnp.where(valid, hts_rec, 0.0)
     coords = jnp.where(valid[:, None], coords, -1)
+    n_out = jnp.sum(valid.astype(jnp.int32))
     return Seeds(coords=coords.astype(jnp.int32), heights=hts, valid=valid,
-                 count=jnp.minimum(n_sel, max_num_seeds).astype(jnp.int32),
+                 count=n_out,
                  threshold=chosen_th,
                  saturated=n_sel > max_num_seeds)

@@ -103,3 +103,26 @@ def test_seed_capacity_keeps_brightest():
     hs_all = np.asarray(all_seeds.heights[:n_all])
     hs_few = np.asarray(few_seeds.heights[:5])
     np.testing.assert_allclose(hs_few, np.sort(hs_all)[::-1][:5], rtol=1e-5)
+
+
+def test_hot_pixel_column_removed_real_spots_kept():
+    """A bright defect column (same xy qualifying in many z layers) is
+    screened out by the deferred per-candidate hot check, while planted
+    real spots survive with correct heights/order (reference semantics:
+    spot_tools/fitting.py's xy-duplicate removal)."""
+    rng = np.random.default_rng(9)
+    im, truth = syn.random_spot_field((12, 64, 64), 6, rng,
+                                      min_separation=12.0,
+                                      height_range=(800.0, 2500.0))
+    im = im.astype(np.float32)
+    im[:, 40, 40] += 5000.0          # hot column: every z a local max
+    got = S.get_seeds(im, th_seed=300.0, max_num_seeds=32)
+    ref_coords, ref_hs = _np_get_seeds(im, th_seed=300.0)
+    n = int(got.count)
+    got_set = {tuple(c) for c in np.asarray(got.coords[:n])}
+    assert not any(c[1] == 40 and c[2] == 40 for c in got_set)
+    assert got_set == {tuple(c) for c in ref_coords}
+    # by-height ordering holds after the post-recovery re-sort
+    hs = np.asarray(got.heights[:n])
+    assert np.all(np.diff(hs) <= 1e-6)
+    np.testing.assert_allclose(np.sort(hs), np.sort(ref_hs), rtol=1e-3)
