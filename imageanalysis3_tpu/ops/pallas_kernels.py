@@ -923,8 +923,11 @@ def fused_seed_classify_pyramid(im: jnp.ndarray, sigma_fg: float,
 
     # pooled background pyramid: mean-pool 4x4, z-blur at full kernel,
     # xy-blur at sigma/4 (pooling's own bandlimit makes up the rest;
-    # validated <=1.2% of bg against the exact blur)
-    pooled = imf.reshape(z, xs, 4, ys, 4).mean(axis=(2, 4))
+    # validated <=1.2% of bg against the exact blur).  reduce_window
+    # form: the reshape-mean materializes a lane-retiled copy and runs
+    # ~7 ms slower at FOV scale (scripts/profile_pad_pool.py)
+    pooled = jax.lax.reduce_window(imf, 0.0, jax.lax.add,
+                                   (1, 4, 4), (1, 4, 4), "VALID") / 16.0
     k_bgs = gaussian_kernel1d(float(sigma_bg) / 4.0)
     bgs = _conv1d_along_axis(pooled, k_bg, 0, "reflect")
     bgs = _conv1d_along_axis(bgs, k_bgs, 1, "reflect")
