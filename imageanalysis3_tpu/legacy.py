@@ -22,13 +22,20 @@ are `.npz`, the HDF5 store is the pipeline checkpoint), no
 multiprocessing pools (the device is the parallelism), segmentation
 comes from segmentation.segment_nuclei or imported masks rather than
 the retired DAPI watershed, and cells map 1:1 to FOVs in `_create_cells`
-(per-cell gating happens via analysis.partition).  Methods NOT ported
-(retired or GUI-bound in the reference): `_pick_cell_segmentations` /
-`_update_cell_segmentations` (matplotlib click GUI; see
-figures.interactive), `_translate_old_segmentations`,
-`_translate_chromosome_coords`, `_generate_dependent_maps`,
-`_transfer_data_type`, and the combo/`Encoding_Group` old-generation
-decode path (replaced by decode.merfish).
+(per-segmented-cell gating via `_create_cells_fov` or
+analysis.partition).  Methods NOT ported, each with its reason:
+`_pick_cell_segmentations` / `_update_cell_segmentations` /
+`_pick_chromosome_manual` / `_add_round_marker` (matplotlib click GUIs;
+see figures.interactive BoundaryMarker/SpotBrowser),
+`_translate_old_segmentations`, `_translate_chromosome_coords`,
+`_generate_dependent_maps`, `_transfer_data_type`, the
+combo/`Encoding_Group` old-generation decode path incl. `_save_group`
+(replaced by decode.merfish), and the multiprocessing-pool plumbing
+`_init_unique_pool` / `_fit_single_image` / `_pick_spot_in_batch` /
+`_load_cell_in_batch` / `_save_cell_in_batch` /
+`_merge_RNA_to_DNA_in_batch` (pool workers that only forward kwargs to
+the per-cell methods ported here; batched device dispatch replaces the
+pool, so the batch APIs are the CellList methods themselves).
 """
 
 from __future__ import annotations
@@ -51,11 +58,15 @@ class CellData:
 
     def __init__(self, cand_spots_by_region: Dict[int, np.ndarray],
                  chrom_coords: Optional[Sequence[np.ndarray]] = None,
-                 pixel_size_nm=DEFAULT_PIXEL_SIZE_NM):
+                 pixel_size_nm=DEFAULT_PIXEL_SIZE_NM,
+                 fov_name: Optional[str] = None,
+                 cell_id: Optional[int] = None):
         self.cand_spots = cand_spots_by_region
         self.chrom_coords = (None if chrom_coords is None
                              else [np.asarray(c) for c in chrom_coords])
         self.pixel_size = np.asarray(pixel_size_nm)
+        self.fov_name = fov_name
+        self.cell_id = cell_id
         self.picked: Dict[int, dict] = {}
 
     # -- picking (reference _pick_spots, :3733-4038) -----------------------
@@ -277,6 +288,65 @@ class CellData:
         return all(int(i) in {int(k) for k in self.cand_spots}
                    for i in expected_ids)
 
+    # -- drift completeness (reference _check_drift, :2687-2706) -----------
+
+    def _check_drift(self, expected_ids: Optional[Sequence[int]] = None
+                     ) -> bool:
+        """True when a drift table is attached and covers every expected
+        region with a consensus-quality vector.
+
+        Behavior target: Cell_Data._check_drift (classes/__init__.py:
+        2687-2706), which verifies the drift dict holds an entry for
+        every Color_Usage folder.  Here the table is the store's
+        per-region `drifts`/`drift_flags` arrays (attached by
+        CellList._load_drift); flag 0 = crop consensus, nonzero =
+        fallback (suspicious) — a fallback drift counts as missing, the
+        reference's 'load better, although de novo is allowed' stance."""
+        if not hasattr(self, "drifts") or not hasattr(self, "drift_ids"):
+            return False
+        ids = {int(i) for i in self.drift_ids}
+        want = (ids if expected_ids is None
+                else {int(i) for i in expected_ids})
+        if not want.issubset(ids):
+            return False
+        flags = getattr(self, "drift_flags", np.zeros(len(self.drift_ids)))
+        by_id = {int(i): int(f) for i, f in zip(self.drift_ids, flags)}
+        return all(by_id.get(i, 1) == 0 for i in want)
+
+    # -- per-cell segmentation mask (reference _load_segmentation,
+    #    :2593-2648) -------------------------------------------------------
+
+    def _load_segmentation(self, fov_labels: np.ndarray,
+                           extend_dim: int = 20):
+        """Keep this cell's ±1 mask and xy bounding crop from the FOV
+        label image.
+
+        Behavior target: Cell_Data._load_segmentation
+        (classes/__init__.py:2593-2648): mask = +1 inside the cell's
+        label, -1 elsewhere, plus the bounding crop used by every later
+        per-cell image load.  Difference by design: the label image
+        comes from segmentation.segment_nuclei / the store, not the
+        retired DAPI watershed re-run."""
+        if self.cell_id is None:
+            raise AttributeError("no cell_id attribute for this cell")
+        labels = np.asarray(fov_labels)
+        mask = labels == int(self.cell_id)
+        if not mask.any():
+            raise ValueError(
+                f"segmentation label does not contain cell {self.cell_id}")
+        seg = -np.ones(labels.shape, np.int8)
+        seg[mask] = 1
+        xy = mask.any(axis=0) if labels.ndim == 3 else mask
+        xs, ys = np.where(xy)
+        nx, ny = xy.shape
+        crop = np.array([[max(int(xs.min()) - extend_dim, 0),
+                          min(int(xs.max()) + 1 + extend_dim, nx)],
+                         [max(int(ys.min()) - extend_dim, 0),
+                          min(int(ys.max()) + 1 + extend_dim, ny)]])
+        self.segmentation_label = seg
+        self.segmentation_crop = crop
+        return seg, crop
+
     # -- save/load (reference _save_to_file/_load_from_file,
     #    :3012-3446) -------------------------------------------------------
 
@@ -414,15 +484,234 @@ class CellList:
 
     def _create_cells(self, data_type: str = "unique") -> List[CellData]:
         """One CellData per FOV from the stored candidate spots (cell
-        segmentation gating happens upstream via analysis.partition)."""
+        segmentation gating happens upstream via analysis.partition, or
+        per segmented cell via :meth:`_create_cells_fov`)."""
         self.cells = []
         for fov in self.driver.fovs:
             with FovStore(self.driver.store_path(fov), "r") as store:
                 if data_type not in store.data_types():
                     continue
                 spots = store.load_all_spots(data_type)
-            self.cells.append(CellData(spots))
+            self.cells.append(CellData(spots, fov_name=fov))
         return self.cells
+
+    def _create_cells_fov(self, fov_name: str,
+                          data_type: str = "unique",
+                          search_radius: int = 10) -> List[CellData]:
+        """One CellData per *segmented cell* of one FOV: gate the FOV's
+        stored candidate spots through its stored segmentation label
+        image.
+
+        Behavior target: Cell_List._create_cells_fov
+        (classes/__init__.py:817-966), which segments the FOV's DAPI
+        round and builds one Cell_Data per label.  Difference by design:
+        segmentation comes from the store (save_segmentation — produced
+        by segmentation.segment_nuclei/learned or imported), and the
+        spot→cell assignment is the device-side mode-label vote
+        (analysis.partition.spots_to_labels) rather than a per-cell
+        re-crop of every round."""
+        import jax.numpy as jnp
+
+        from .analysis.partition import spots_to_labels
+
+        with FovStore(self.driver.store_path(fov_name), "r") as store:
+            if data_type not in store.data_types():
+                raise KeyError(f"no {data_type} spots stored for "
+                               f"{fov_name}; run process_fov first")
+            labels = store.load_segmentation()
+            if labels is None:
+                raise KeyError(f"no segmentation stored for {fov_name}; "
+                               "save one via store.save_segmentation")
+            spots = store.load_all_spots(data_type)
+        labels = np.asarray(labels)
+        if labels.ndim == 2:                       # pseudo-3D: same every z
+            labels = labels[None]
+        lab_dev = jnp.asarray(labels, jnp.int32)
+        cell_ids = sorted(int(v) for v in np.unique(labels) if v > 0)
+        by_cell: Dict[int, Dict[int, np.ndarray]] = {
+            c: {} for c in cell_ids}
+        for rid, sp in spots.items():
+            sp = np.asarray(sp)
+            if not len(sp):
+                continue
+            coords = sp[:, 1:4].copy()
+            if labels.shape[0] == 1:               # 2D labels: ignore z
+                coords[:, 0] = 0.0
+            got = np.asarray(spots_to_labels(
+                lab_dev, jnp.asarray(coords, jnp.float32),
+                jnp.ones(len(sp), bool), search_radius=search_radius))
+            for c in cell_ids:
+                by_cell[c][int(rid)] = sp[got == c]
+        new = [CellData(by_cell[c], fov_name=fov_name, cell_id=c)
+               for c in cell_ids]
+        self.cells.extend(new)
+        return new
+
+    # -- batch image/drift loading into cells (reference _load_drift
+    #    :2708-2786, _load_segmentation :2593, _load_dapi_image :2649,
+    #    _load_chromosome_image :3447, _generate_chromosome_image :3453) ---
+
+    def _load_drift(self, data_type: str = "unique"
+                    ) -> Dict[str, np.ndarray]:
+        """Attach each cell's persisted per-region drift table
+        (`drifts`, `drift_flags`, `drift_ids`) from its FOV store.
+
+        Behavior target: Cell_Data._load_drift (classes/__init__.py:
+        2708-2786) prefers the persisted drift file over recomputation;
+        recomputation is ExperimentDriver.process_fov's job here (the
+        store is the drift file)."""
+        out: Dict[str, np.ndarray] = {}
+        for cell in self.cells:
+            if cell.fov_name is None:
+                continue
+            with FovStore(self.driver.store_path(cell.fov_name),
+                          "r") as store:
+                if data_type not in store.data_types():
+                    continue
+                g = store._fh[data_type]
+                cell.drift_ids = np.asarray(g["ids"][:])
+                cell.drifts = np.asarray(g["drifts"][:])
+                cell.drift_flags = store.drift_flags(data_type)
+            out[cell.fov_name] = cell.drifts
+        return out
+
+    def _load_segmentation(self) -> None:
+        """Attach each cell's segmentation mask+crop from its FOV store
+        (CellData._load_segmentation per cell; 1:1-FOV cells get the raw
+        label image as `segmentation_label`)."""
+        labels_by_fov: Dict[str, np.ndarray] = {}
+        for cell in self.cells:
+            if cell.fov_name is None:
+                continue
+            if cell.fov_name not in labels_by_fov:
+                with FovStore(self.driver.store_path(cell.fov_name),
+                              "r") as store:
+                    lab = store.load_segmentation()
+                if lab is None:
+                    raise KeyError(
+                        f"no segmentation stored for {cell.fov_name}")
+                labels_by_fov[cell.fov_name] = np.asarray(lab)
+            if cell.cell_id is None:
+                cell.segmentation_label = labels_by_fov[cell.fov_name]
+            else:
+                cell._load_segmentation(labels_by_fov[cell.fov_name])
+
+    def _load_dapi_image(self) -> Dict[str, np.ndarray]:
+        """Corrected drift-aligned DAPI stack per FOV, attached to each
+        cell as `dapi_im` (ExperimentDriver.load_dapi_image; reference
+        _load_dapi_image classes/__init__.py:2649-2686)."""
+        ims: Dict[str, np.ndarray] = {}
+        for cell in self.cells:
+            if cell.fov_name is None:
+                continue
+            if cell.fov_name not in ims:
+                ims[cell.fov_name] = self.driver.load_dapi_image(
+                    cell.fov_name)
+            cell.dapi_im = ims[cell.fov_name]
+        return ims
+
+    def _generate_chromosome_image(self, **kwargs) -> Dict[str, np.ndarray]:
+        """Chromosome-paint stack per FOV, attached to each cell as
+        `chrom_im` (ExperimentDriver.generate_chromosome_image; reference
+        _generate_chromosome_image classes/__init__.py:3453-3550)."""
+        ims: Dict[str, np.ndarray] = {}
+        for cell in self.cells:
+            if cell.fov_name is None:
+                continue
+            if cell.fov_name not in ims:
+                ims[cell.fov_name] = self.driver.generate_chromosome_image(
+                    cell.fov_name, **kwargs)
+            cell.chrom_im = ims[cell.fov_name]
+        return ims
+
+    def _load_chromosome_image(self) -> Dict[str, np.ndarray]:
+        """Cached-only variant of :meth:`_generate_chromosome_image`
+        (reference _load_chromosome_image, classes/__init__.py:3447-3452,
+        which reads the saved chrom_im)."""
+        return self._generate_chromosome_image(save=False,
+                                               overwrite=False)
+
+    # -- batch fitting + cropping (reference _spot_finding_for_cells
+    #    :1494-1532, _crop_image_for_cells :967-1018) ----------------------
+
+    def _spot_finding_for_cells(self, data_type: str = "unique",
+                                **fit_kwargs) -> None:
+        """Multi-fit every cell's chromosome neighborhoods from its
+        stored region images (CellData._multi_fitting_for_chromosome per
+        cell; reference _spot_finding_for_cells classes/__init__.py:
+        1494-1532 loops _multi_fitting_for_chromosome the same way).
+        Requires the driver to have run with save_images=True and
+        chrom_coords attached (_get_chromosomes_for_cells)."""
+        for cell in self.cells:
+            if cell.fov_name is None or not cell.chrom_coords:
+                continue
+            with FovStore(self.driver.store_path(cell.fov_name),
+                          "r") as store:
+                if data_type not in store.data_types():
+                    continue
+                g = store._fh[data_type]
+                if "ims" not in g:
+                    raise KeyError(
+                        f"no images stored for {data_type}; run the "
+                        "driver with save_images=True")
+                ims = {int(rid): g["ims"][i][:]
+                       for i, rid in enumerate(g["ids"][:])}
+            cell._multi_fitting_for_chromosome(ims, **fit_kwargs)
+
+    def _crop_image_for_cells(self, data_type: str = "unique",
+                              extend_dim: int = 20
+                              ) -> Dict[int, Dict[int, np.ndarray]]:
+        """Per-cell region-image crops for every segmented cell
+        (CellData._crop_images per cell; reference _crop_image_for_cells
+        classes/__init__.py:967-1018 / _crop_image_by_fov :1019-1116,
+        which group the crop work by FOV so each round is read once —
+        here the store's corrected images are sliced directly)."""
+        out: Dict[int, Dict[int, np.ndarray]] = {}
+        labels_by_fov: Dict[str, np.ndarray] = {}
+        for idx, cell in enumerate(self.cells):
+            if cell.fov_name is None or cell.cell_id is None:
+                continue
+            if cell.fov_name not in labels_by_fov:
+                with FovStore(self.driver.store_path(cell.fov_name),
+                              "r") as store:
+                    lab = store.load_segmentation()
+                if lab is None:
+                    raise KeyError(
+                        f"no segmentation stored for {cell.fov_name}")
+                labels_by_fov[cell.fov_name] = np.asarray(lab)
+            with FovStore(self.driver.store_path(cell.fov_name),
+                          "r") as store:
+                out[idx] = CellData._crop_images(
+                    store, data_type, labels_by_fov[cell.fov_name],
+                    cell.cell_id, extend_dim=extend_dim)
+        return out
+
+    def _update_chromosomes_for_cells(
+            self, coords_by_cell: Sequence[Sequence[np.ndarray]],
+            save: bool = False,
+            folder: Optional[str] = None) -> None:
+        """Distribute externally picked chromosome coordinates (e.g.
+        figures.interactive manual picks) to cells, padding missing
+        entries with empty lists.
+
+        Behavior target: Cell_List._update_chromosomes_for_cells
+        (classes/__init__.py:1373-1447), which partitions a saved
+        manual-pick file across cells and appends empties when fewer
+        pick sets than cells exist.  Coordinates are zxy already (the
+        reference flips its xyz GUI picks)."""
+        if len(coords_by_cell) > len(self.cells):
+            raise ValueError(
+                f"{len(coords_by_cell)} pick sets for "
+                f"{len(self.cells)} cells")
+        coords = list(coords_by_cell)
+        coords += [[] for _ in range(len(self.cells) - len(coords))]
+        for i, (cell, picks) in enumerate(zip(self.cells, coords)):
+            cell.chrom_coords = [np.asarray(c, float) for c in picks]
+            if save:
+                import os
+                fold = folder or self.driver.save_folder
+                os.makedirs(fold, exist_ok=True)
+                cell._save_to_file(os.path.join(fold, f"cell_{i}.npz"))
 
     # -- experiment metadata (reference _load_color_info etc.,
     #    classes/__init__.py:337-406) --------------------------------------

@@ -595,10 +595,11 @@ class ExperimentDriver:
 
     # -- chromosome image ---------------------------------------------------
 
-    def _chrom_plan(self) -> Optional[Tuple[RoundPlan, int]]:
-        """(plan, channel index) for a dedicated chromosome-paint round, if
-        Color_Usage marks one ('chrom' entry; reference
-        _load_chromosome_image, classes/field_of_view.py:1716-1820)."""
+    def _marker_plan(self, marker: str) -> Optional[Tuple[RoundPlan, int]]:
+        """(plan, channel index) for a dedicated marker round ('chrom' or
+        'dapi' entry in Color_Usage; reference _load_chromosome_image
+        classes/field_of_view.py:1716-1820 and _load_dapi_image
+        classes/__init__.py:2649-2686 locate the folder the same way)."""
         cu = self.color_usage
         bead_ch = cu.channels[cu.bead_channel_index(self.bead_name)]
         for folder in self.folders:
@@ -606,14 +607,56 @@ class ExperimentDriver:
             if not entries:
                 continue
             for ch, info in zip(cu.channels, entries):
-                if info and "chrom" in info.lower():
+                if info and marker in info.lower():
                     channels = [ch] + ([bead_ch] if bead_ch != ch else [])
                     plan = RoundPlan(
                         folder=folder, channels=channels,
-                        fit_channel_indices=[0], regions=[("chrom", 0)],
+                        fit_channel_indices=[0], regions=[(marker, 0)],
                         drift_channel_index=channels.index(bead_ch))
                     return plan, 0
         return None
+
+    def _chrom_plan(self) -> Optional[Tuple[RoundPlan, int]]:
+        return self._marker_plan("chrom")
+
+    def load_dapi_image(self, fov_name: str, save: bool = True,
+                        overwrite: bool = False) -> np.ndarray:
+        """Corrected, drift-aligned DAPI stack for one FOV, cached in the
+        store's `signal` group as `dapi_im`.
+
+        Behavior target: Cell_Data._load_dapi_image
+        (classes/__init__.py:2649-2686): pick the DAPI-marked folder from
+        Color_Usage, run the correction chain on that channel, align it to
+        the reference round.  The reference crops to the cell's
+        segmentation box; here the full FOV is kept (cell crops slice it,
+        legacy.CellData._crop_images)."""
+        import jax.numpy as jnp
+
+        from ..ops.warp import warp_image_drift
+
+        with FovStore(self.store_path(fov_name)) as store:
+            if not overwrite:
+                cached = store.load_signal("dapi_im")
+                if cached is not None:
+                    return cached
+            found = self._marker_plan("dapi")
+            if found is None:
+                raise ValueError("no DAPI-marked round in Color_Usage "
+                                 "(reference raises the same)")
+            plan, ci = found
+            pipe = self._pipeline_for(plan)
+            ims = self._to_stack(self._load_round(plan, fov_name))
+            corrected = pipe.correct_jit(jnp.asarray(ims))
+            if plan.folder != self.ref_folder:
+                ref_im = self._reference_image(fov_name)
+                drift, _flag = pipe.drift_jit(
+                    corrected[plan.drift_channel_index], ref_im)
+            else:
+                drift = jnp.zeros(3, jnp.float32)
+            out = np.asarray(warp_image_drift(corrected[ci], drift))
+            if save:
+                store.save_signal("dapi_im", out, source=plan.folder)
+            return out
 
     def generate_chromosome_image(self, fov_name: str,
                                   data_type: str = "unique",

@@ -261,3 +261,117 @@ def test_cell_list_save_load_cells(tmp_path):
     assert len(cells) == 3
     np.testing.assert_array_equal(cells[1].cand_spots[2],
                                   cl.cells[1].cand_spots[2])
+
+
+def test_cell_list_segmented_cells_and_batch_loads(tmp_path):
+    """Per-segmented-cell creation + the batch drift/segmentation/crop/
+    chromosome loaders (reference _create_cells_fov :817-966,
+    _load_drift :2708, _check_drift :2687, _load_segmentation :2593,
+    _crop_image_for_cells :967, _update_chromosomes_for_cells :1373,
+    _spot_finding_for_cells :1494)."""
+    from imageanalysis3_tpu.io.store import FovStore
+
+    root = tmp_path / "exp"
+    syn.write_synthetic_experiment(str(root), shape=SHAPE, n_rounds=2,
+                                   n_spots=8, seed=7, buffer_frames=4)
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        correction=CorrectionConfig(illumination=False, hot_pixel=False),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=3, lm_iters=15),
+        num_buffer_frames=4)
+    cl = CellList(str(root), str(tmp_path / "save"), cfg=cfg,
+                  save_images=True)
+    cl._process_fovs()
+    fov = "Conv_zscan_00.dax"
+
+    # two fake cells: y halves of the FOV
+    labels = np.zeros(SHAPE, np.int32)
+    labels[:, :, :64] = 1
+    labels[:, :, 64:] = 2
+    with FovStore(cl.driver.store_path(fov)) as store:
+        store.save_segmentation(labels)
+        total = sum(len(v) for v in store.load_all_spots("unique").values())
+
+    cells = cl._create_cells_fov(fov)
+    assert [c.cell_id for c in cells] == [1, 2]
+    assert all(c.fov_name == fov for c in cells)
+    # every stored spot lands in exactly one cell, on its own y side
+    got = 0
+    for cell in cells:
+        for sp in cell.cand_spots.values():
+            got += len(sp)
+            if len(sp):
+                y = sp[:, 3]
+                assert np.all(y < 64) if cell.cell_id == 1 \
+                    else np.all(y >= 64)
+    assert got == total > 0
+
+    # drift table + completeness check
+    cl._load_drift()
+    assert cells[0]._check_drift()
+    assert cells[0].drifts.shape[1] == 3
+    # a fresh cell with no table attached fails the check
+    assert not CellData({}, fov_name=fov)._check_drift()
+
+    # per-cell segmentation mask + crop
+    cl._load_segmentation()
+    seg, crop = cells[0].segmentation_label, cells[0].segmentation_crop
+    assert seg.shape == SHAPE and set(np.unique(seg)) == {-1, 1}
+    assert crop[1][0] == 0 and crop[1][1] <= 64 + 20
+
+    # per-cell image crops from the stored corrected images
+    crops = cl._crop_image_for_cells("unique")
+    region = next(iter(crops[len(cl.cells) - 2].values()))
+    assert region.shape[0] == SHAPE[0] and region.shape[2] <= 64 + 20
+
+    # distribute manual chromosome picks; short list pads with empties
+    cl._update_chromosomes_for_cells(
+        [[] for _ in range(len(cl.cells) - 2)]
+        + [[np.array([6.0, 64.0, 32.0])]])
+    assert len(cells[0].chrom_coords) == 1
+    assert cells[1].chrom_coords == []
+
+    # batch multi-fit fills cand_spots for the cell with a chromosome
+    cl._spot_finding_for_cells("unique", th_seed=400.0)
+    assert set(cells[0].cand_spots) == {1, 2, 3, 4}
+    with pytest.raises(ValueError):
+        cl._update_chromosomes_for_cells(
+            [[] for _ in range(len(cl.cells) + 1)])
+
+
+def test_cell_list_dapi_image(tmp_path):
+    """DAPI round loading: corrected + drift-aligned + store-cached
+    (reference _load_dapi_image classes/__init__.py:2649-2686)."""
+    import csv
+
+    root = tmp_path / "exp"
+    syn.write_synthetic_experiment(str(root), shape=SHAPE, n_rounds=2,
+                                   n_spots=8, seed=9, buffer_frames=4)
+    # mark round 1 / channel 0 as the DAPI round in Color_Usage
+    cu = root / "Color_Usage.csv"
+    rows = list(csv.reader(open(cu)))
+    rows[2][1] = "DAPI"
+    with open(cu, "w", newline="") as fh:
+        csv.writer(fh).writerows(rows)
+
+    cfg = ExperimentConfig(
+        image_size=SHAPE,
+        correction=CorrectionConfig(illumination=False, hot_pixel=False),
+        drift=DriftConfig(drift_size=64),
+        seed=SeedConfig(th_seed=400.0, max_num_seeds=64, cand_capacity=512),
+        fit=FitConfig(n_max_iter=3, lm_iters=15),
+        num_buffer_frames=4)
+    cl = CellList(str(root), str(tmp_path / "save"), cfg=cfg)
+    cl._process_fovs()
+    cl._create_cells("unique")
+    ims = cl._load_dapi_image()
+    fov = "Conv_zscan_00.dax"
+    assert ims[fov].shape == SHAPE
+    assert cl.cells[0].dapi_im is ims[fov]
+    # cached in the signal group: a second load round-trips the store
+    from imageanalysis3_tpu.io.store import FovStore
+    with FovStore(cl.driver.store_path(fov), "r") as store:
+        cached = store.load_signal("dapi_im")
+    np.testing.assert_allclose(cached, ims[fov], atol=0.5)
