@@ -130,17 +130,13 @@ def count_genes(labels_per_bit: Dict[int, np.ndarray],
     return counts, cells, np.asarray(bits, np.int32)
 
 
-@jax.jit
-def translate_label_image(labels: jnp.ndarray, rotation_xy: jnp.ndarray,
-                          drift: jnp.ndarray) -> jnp.ndarray:
-    """Rigid rotation (about the xy image center) + drift of a label
-    volume, nearest-neighbor resampled (reference translate_segmentation,
-    segmentation_tools/cell.py:548-597 / cv2.warpAffine semantics).
-
-    Output voxel o maps to source s = R^-1 @ (o_xy - c) + c - drift_xy per
-    xy plane; z shifts by -drift_z (nearest layer).
-    """
-    z, x, y = labels.shape
+def _rigid_plane_map(shape: Tuple[int, int, int],
+                     rotation_xy: jnp.ndarray, drift: jnp.ndarray):
+    """Shared inverse rigid map for the nearest-neighbor warps below:
+    output voxel o samples source s = R^-1 @ (o_xy - c) + c - drift_xy
+    per xy plane, z layers shift by -drift_z (nearest layer).  Returns
+    (per-plane flat gather index, in-bounds mask, source z layer ids)."""
+    z, x, y = shape
     cx = (x - 1) / 2.0
     cy = (y - 1) / 2.0
     xs = jnp.arange(x, dtype=jnp.float32)[:, None] - cx
@@ -151,10 +147,36 @@ def translate_label_image(labels: jnp.ndarray, rotation_xy: jnp.ndarray,
     xi = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, x - 1)
     yi = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, y - 1)
     inb = (sx >= -0.5) & (sx <= x - 0.5) & (sy >= -0.5) & (sy <= y - 0.5)
-    plane_idx = xi * y + yi
-
     zi = jnp.clip(jnp.round(jnp.arange(z, dtype=jnp.float32)
                             - drift[0]).astype(jnp.int32), 0, z - 1)
+    return xi * y + yi, inb, zi
+
+
+@jax.jit
+def translate_label_image(labels: jnp.ndarray, rotation_xy: jnp.ndarray,
+                          drift: jnp.ndarray) -> jnp.ndarray:
+    """Rigid rotation (about the xy image center) + drift of a label
+    volume, nearest-neighbor resampled (reference translate_segmentation,
+    segmentation_tools/cell.py:548-597 / cv2.warpAffine semantics).
+    Out-of-bounds voxels become background 0.
+    """
+    plane_idx, inb, zi = _rigid_plane_map(labels.shape, rotation_xy,
+                                          drift)
     vol = labels.astype(jnp.int32)[zi]
     out = jax.vmap(lambda pl: jnp.take(pl.reshape(-1), plane_idx))(vol)
     return jnp.where(inb[None], out, 0)
+
+
+@jax.jit
+def translate_volume(im: jnp.ndarray, rotation_xy: jnp.ndarray,
+                     drift: jnp.ndarray) -> jnp.ndarray:
+    """Float-intensity variant of :func:`translate_label_image` (same
+    inverse rigid map, nearest-neighbor): warps e.g. a DAPI stack into
+    another experiment's frame so the residual drift between experiments
+    can be phase-correlated (reference translate_segmentation rotates
+    the old DAPI alongside the labels, segmentation_tools/cell.py:
+    548-597).  Out-of-bounds voxels become 0."""
+    plane_idx, inb, zi = _rigid_plane_map(im.shape, rotation_xy, drift)
+    vol = im.astype(jnp.float32)[zi]
+    out = jax.vmap(lambda pl: jnp.take(pl.reshape(-1), plane_idx))(vol)
+    return jnp.where(inb[None], out, 0.0)

@@ -27,7 +27,7 @@ analysis.partition).  Methods NOT ported, each with its reason:
 `_pick_cell_segmentations` / `_update_cell_segmentations` /
 `_pick_chromosome_manual` / `_add_round_marker` (matplotlib click GUIs;
 see figures.interactive BoundaryMarker/SpotBrowser),
-`_translate_old_segmentations`, `_translate_chromosome_coords`,
+`_translate_chromosome_coords`,
 `_generate_dependent_maps`, `_transfer_data_type`, the
 combo/`Encoding_Group` old-generation decode path incl. `_save_group`
 (replaced by decode.merfish), and the multiprocessing-pool plumbing
@@ -40,6 +40,7 @@ pool, so the batch APIs are the CellList methods themselves).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -595,6 +596,87 @@ class CellList:
                 cell.segmentation_label = labels_by_fov[cell.fov_name]
             else:
                 cell._load_segmentation(labels_by_fov[cell.fov_name])
+
+    def _translate_old_segmentations(
+            self, old_segmentation_folder: str, old_dapi_folder: str,
+            rotation_mat: np.ndarray, save: bool = True,
+            save_folder: Optional[str] = None,
+            save_postfix: str = "_segmentation",
+            upsample_factor: int = 100, force: bool = False,
+            new_dapi_by_fov: Optional[Dict[str, np.ndarray]] = None
+    ) -> Dict[str, np.ndarray]:
+        """Carry segmentation labels over from a previous experiment:
+        rotate by the (manually calibrated) 2x2 `rotation_mat`, register
+        the rotated old DAPI onto this experiment's DAPI by FFT phase
+        correlation, and warp the old labels into the new frame in ONE
+        nearest-neighbor resample (reference _translate_old_segmentations
+        classes/__init__.py:663-787 -> visual_tools.translate_segmentation;
+        rotation+residual-drift semantics segmentation_tools/cell.py:
+        548-597).
+
+        Adapted I/O: `old_segmentation_folder` holds `<fov>_segmentation
+        .npy` label volumes and `old_dapi_folder` holds the old
+        experiment's already-corrected `<fov>.npy` DAPI stacks (the
+        reference re-corrects raw `.dax` here; raw correction is
+        ExperimentDriver's job in this design).  New-experiment DAPI
+        comes from `new_dapi_by_fov` or `driver.load_dapi_image`.  The
+        translated labels are saved as `.npy` (unless `save=False`),
+        attached to the FOV's cells, and returned per FOV.  Existing
+        outputs are reused unless `force` (reference `_force`)."""
+        import jax.numpy as jnp
+
+        from .analysis.partition import (translate_label_image,
+                                         translate_volume)
+        from .ops.drift import subpixel_phase_correlation
+
+        rot = np.asarray(rotation_mat, np.float32)
+        rinv = np.linalg.inv(rot)
+        out_dir = save_folder or os.path.join(
+            self.driver.save_folder, "Segmentation")
+        if save:
+            os.makedirs(out_dir, exist_ok=True)
+        labels_by_fov: Dict[str, np.ndarray] = {}
+        for cell in self.cells:
+            fov = cell.fov_name
+            if fov is None or fov in labels_by_fov:
+                continue
+            stem = os.path.splitext(fov)[0]
+            new_fl = os.path.join(out_dir, stem + save_postfix + ".npy")
+            if not force and os.path.exists(new_fl):
+                labels_by_fov[fov] = np.load(new_fl)
+                continue
+            old_lab = np.load(os.path.join(
+                old_segmentation_folder, stem + save_postfix + ".npy"))
+            old_dapi = np.load(os.path.join(old_dapi_folder,
+                                            stem + ".npy"))
+            new_dapi = (new_dapi_by_fov or {}).get(fov)
+            if new_dapi is None:
+                new_dapi = self.driver.load_dapi_image(fov)
+            zero = jnp.zeros(3, jnp.float32)
+            rotated = translate_volume(jnp.asarray(old_dapi, jnp.float32),
+                                       jnp.asarray(rot), zero)
+            shift = np.asarray(subpixel_phase_correlation(
+                jnp.asarray(new_dapi, jnp.float32), rotated,
+                upsample_factor=upsample_factor, subtract_mean=True,
+                window="hann_xy"))
+            # Fold the post-rotation shift into the single-resample warp:
+            # out(o) = rotated(o - d) = src(R^-1(o_xy-c) + c - R^-1 d_xy),
+            # so translate_label_image's drift parameter is (d_z, R^-1 d_xy).
+            drift = np.array([shift[0], *(rinv @ shift[1:])], np.float32)
+            lab = np.asarray(translate_label_image(
+                jnp.asarray(old_lab), jnp.asarray(rot),
+                jnp.asarray(drift)))
+            if save:
+                np.save(new_fl, lab)
+            labels_by_fov[fov] = lab
+        for cell in self.cells:
+            if cell.fov_name not in labels_by_fov:
+                continue
+            if cell.cell_id is None:
+                cell.segmentation_label = labels_by_fov[cell.fov_name]
+            else:
+                cell._load_segmentation(labels_by_fov[cell.fov_name])
+        return labels_by_fov
 
     def _load_dapi_image(self) -> Dict[str, np.ndarray]:
         """Corrected drift-aligned DAPI stack per FOV, attached to each

@@ -375,3 +375,75 @@ def test_cell_list_dapi_image(tmp_path):
     with FovStore(cl.driver.store_path(fov), "r") as store:
         cached = store.load_signal("dapi_im")
     np.testing.assert_allclose(cached, ims[fov], atol=0.5)
+
+
+def test_cell_list_translate_old_segmentations(tmp_path):
+    """Old-experiment labels carry over through rotation + FFT-recovered
+    residual drift in one nearest-neighbor warp (reference
+    _translate_old_segmentations classes/__init__.py:663-787 ->
+    visual_tools.translate_segmentation)."""
+    import jax.numpy as jnp
+
+    from imageanalysis3_tpu.analysis.partition import (
+        translate_label_image, translate_volume)
+
+    rng = np.random.default_rng(21)
+    z, x, y = 8, 96, 96
+    # old experiment: blobby nuclei labels + DAPI as smoothed labels
+    labels = np.zeros((z, x, y), np.int32)
+    for lid, (cx, cy) in enumerate([(30, 30), (64, 60), (40, 72)], 1):
+        zz, xx, yy = np.indices((z, x, y))
+        r2 = ((xx - cx) ** 2 + (yy - cy) ** 2) / 10.0 ** 2 \
+            + ((zz - z / 2) ** 2) / 3.0 ** 2
+        labels[r2 < 1.0] = lid
+    dapi = (labels > 0).astype(np.float32) * 800.0 \
+        + rng.normal(0, 5.0, (z, x, y)).astype(np.float32)
+
+    # ground-truth transform into the "new" experiment's frame
+    th = np.deg2rad(3.0)
+    rot = np.array([[np.cos(th), -np.sin(th)],
+                    [np.sin(th), np.cos(th)]], np.float32)
+    true_drift = np.array([1.0, 2.5, -3.5], np.float32)
+    new_labels = np.asarray(translate_label_image(
+        jnp.asarray(labels), jnp.asarray(rot), jnp.asarray(true_drift)))
+    new_dapi = np.asarray(translate_volume(
+        jnp.asarray(dapi), jnp.asarray(rot), jnp.asarray(true_drift)))
+
+    old_seg = tmp_path / "old_seg"
+    old_dapi_dir = tmp_path / "old_dapi"
+    old_seg.mkdir()
+    old_dapi_dir.mkdir()
+    fov = "Conv_zscan_00.dax"
+    np.save(old_seg / "Conv_zscan_00_segmentation.npy", labels)
+    np.save(old_dapi_dir / "Conv_zscan_00.npy", dapi)
+
+    class _FakeDriver:
+        data_folder = "."
+        save_folder = str(tmp_path / "save")
+        fovs = [fov]
+
+    cl = CellList.__new__(CellList)
+    cl.driver = _FakeDriver()
+    cl.cells = [CellData({}, fov_name=fov)]
+    got = cl._translate_old_segmentations(
+        str(old_seg), str(old_dapi_dir), rot,
+        new_dapi_by_fov={fov: new_dapi})
+    lab = got[fov]
+    inter = np.sum((lab > 0) & (new_labels > 0))
+    union = np.sum((lab > 0) | (new_labels > 0))
+    assert inter / union > 0.9
+    # per-label identity is preserved, not just the foreground
+    for lid in (1, 2, 3):
+        a, b = lab == lid, new_labels == lid
+        assert np.sum(a & b) / np.sum(a | b) > 0.85
+    # attached to the FOV's cells and persisted for reuse
+    assert cl.cells[0].segmentation_label is lab
+    import os as _os
+    saved = _os.path.join(cl.driver.save_folder, "Segmentation",
+                          "Conv_zscan_00_segmentation.npy")
+    assert _os.path.exists(saved)
+    # cached file short-circuits recomputation
+    got2 = cl._translate_old_segmentations(
+        str(old_seg), str(old_dapi_dir), rot,
+        new_dapi_by_fov={fov: new_dapi})
+    np.testing.assert_array_equal(got2[fov], lab)
