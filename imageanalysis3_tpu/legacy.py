@@ -27,7 +27,6 @@ analysis.partition).  Methods NOT ported, each with its reason:
 `_pick_cell_segmentations` / `_update_cell_segmentations` /
 `_pick_chromosome_manual` / `_add_round_marker` (matplotlib click GUIs;
 see figures.interactive BoundaryMarker/SpotBrowser),
-`_translate_chromosome_coords`,
 `_generate_dependent_maps`, `_transfer_data_type`, the
 combo/`Encoding_Group` old-generation decode path incl. `_save_group`
 (replaced by decode.merfish), and the multiprocessing-pool plumbing
@@ -51,6 +50,37 @@ from .decode.picking import (build_candidate_table, em_pick_spots,
                              dynamic_pick_spots, naive_pick_spots)
 from .pipeline.experiment import ExperimentDriver
 from .io.store import FovStore
+
+
+def _border_aware_centers(s_lo: int, s_hi: int, t_lo: int, t_hi: int,
+                          fov_lim: int, border_lim: int
+                          ) -> tuple:
+    """Per-axis rotation centers for chromosome-coordinate carry-over
+    (reference visual_tools.translate_chromosome_coordinates:2915-2950),
+    on absolute FOV coordinates: a crop clipped by the FOV edge has a
+    biased midpoint, so the center is re-anchored to the in-FOV edge
+    using the unclipped partner's half-width (or the larger half-width
+    when both are clipped)."""
+    s_mid, t_mid = (s_lo + s_hi) / 2.0, (t_lo + t_hi) / 2.0
+    if s_lo < border_lim and t_lo < border_lim:
+        ct = max(s_mid - s_lo, t_mid - t_lo)
+        return s_hi - ct, t_hi - ct
+    if s_lo < border_lim:
+        ct = t_mid - t_lo
+        return s_hi - ct, t_hi - ct
+    if t_lo < border_lim:
+        ct = s_mid - s_lo
+        return s_hi - ct, t_hi - ct
+    if s_hi > fov_lim - border_lim and t_hi > fov_lim - border_lim:
+        ct = max(s_mid - s_lo, t_mid - t_lo)
+        return s_lo + ct, t_lo + ct
+    if s_hi > fov_lim - border_lim:
+        ct = t_mid - t_lo
+        return s_lo + ct, t_lo + ct
+    if t_hi > fov_lim - border_lim:
+        ct = s_mid - s_lo
+        return s_lo + ct, t_lo + ct
+    return s_mid, t_mid
 
 
 class CellData:
@@ -856,6 +886,73 @@ class CellList:
         classes/__init__.py:1533-1627)."""
         return [cell._pick_spots(method=method, **kwargs)
                 for cell in self.cells]
+
+    def _translate_chromosome_coords(
+            self, source_cell_list: "CellList",
+            rotation_mat: np.ndarray, rotation_order: str = "reverse",
+            border_lim: int = 10, overwrite: bool = False
+    ) -> List[Optional[List[np.ndarray]]]:
+        """Carry chromosome centers over from another experiment's
+        CellList: match each cell by (fov_name, cell_id), pick a
+        border-aware per-cell rotation center in each experiment, and map
+        src zxy -> [z - src_cz + tar_cz, R @ (xy - src_cxy) + tar_cxy]
+        (reference _translate_chromosome_coords classes/__init__.py:
+        1422-1491 -> visual_tools.translate_chromosome_coordinates:
+        2857-2960; `rotation_order='reverse'` transposes the matrix the
+        same way).  Cells without a unique source match are skipped
+        (returned as None), matching the reference's skip branch."""
+        rot = np.asarray(rotation_mat, np.float64)
+        if rot.shape != (2, 2):
+            raise ValueError(f"rotation_mat must be 2x2, got {rot.shape}")
+        if rotation_order not in ("forward", "reverse"):
+            raise ValueError(f"bad rotation_order: {rotation_order}")
+        if rotation_order == "reverse":
+            rot = rot.T
+        image_size = self.driver.cfg.image_size \
+            if getattr(self.driver, "cfg", None) is not None else None
+        out: List[Optional[List[np.ndarray]]] = []
+        for cell in self.cells:
+            matches = [s for s in source_cell_list.cells
+                       if s.fov_name == cell.fov_name
+                       and s.cell_id == cell.cell_id]
+            if (len(matches) != 1
+                    or getattr(matches[0], "chrom_coords", None) is None):
+                out.append(None)
+                continue
+            src = matches[0]
+            src_c = [self._fov_z_center(src, image_size)]
+            tar_c = [self._fov_z_center(cell, image_size)]
+            for ax in range(2):
+                s_lo, s_hi = (int(v) for v in src.segmentation_crop[ax])
+                t_lo, t_hi = (int(v) for v in cell.segmentation_crop[ax])
+                fov_lim = (image_size[ax + 1] if image_size is not None
+                           else max(s_hi, t_hi))
+                s_ct, t_ct = _border_aware_centers(
+                    s_lo, s_hi, t_lo, t_hi, fov_lim, border_lim)
+                src_c.append(s_ct)
+                tar_c.append(t_ct)
+            src_c = np.asarray(src_c)
+            tar_c = np.asarray(tar_c)
+            coords = []
+            for c in src.chrom_coords:
+                rel = np.asarray(c, np.float64) - src_c
+                coords.append(np.array(
+                    [rel[0], *(rot @ rel[1:])]) + tar_c)
+            if overwrite or getattr(cell, "chrom_coords", None) is None:
+                cell.chrom_coords = coords
+            out.append(coords)
+        return out
+
+    @staticmethod
+    def _fov_z_center(cell: CellData,
+                      image_size: Optional[Sequence[int]]) -> float:
+        """z rotation center: cells span the full z extent here (the
+        segmentation crop is xy-only by design), so the center is the
+        stack midplane — the analog of the reference's mean of the z
+        crop window (visual_tools.py:2913)."""
+        if image_size is not None:
+            return (image_size[0] - 1) / 2.0
+        return 0.0
 
     # -- intensity statistics + p-value screen (reference
     #    _get_intensity_stats :1886-2001, _p_value_filter :2002-2094) ------

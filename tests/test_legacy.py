@@ -447,3 +447,64 @@ def test_cell_list_translate_old_segmentations(tmp_path):
         str(old_seg), str(old_dapi_dir), rot,
         new_dapi_by_fov={fov: new_dapi})
     np.testing.assert_array_equal(got2[fov], lab)
+
+
+def test_cell_list_translate_chromosome_coords():
+    """Chromosome centers carry over between experiments through
+    border-aware per-cell rotation centers (reference
+    _translate_chromosome_coords classes/__init__.py:1422-1491 ->
+    visual_tools.translate_chromosome_coordinates:2857-2960)."""
+    from imageanalysis3_tpu.legacy import _border_aware_centers
+
+    th = np.deg2rad(10.0)
+    rot = np.array([[np.cos(th), -np.sin(th)],
+                    [np.sin(th), np.cos(th)]])
+
+    class _FakeDriver:
+        data_folder = save_folder = "."
+        fovs = []
+
+        class cfg:
+            image_size = (9, 200, 200)
+
+    def _make(fov, cid, crop, coords=None):
+        c = CellData({}, fov_name=fov, cell_id=cid)
+        c.segmentation_crop = np.asarray(crop)
+        if coords is not None:
+            c.chrom_coords = [np.asarray(x, float) for x in coords]
+        return c
+
+    # interior cell: centers are the crop midpoints
+    src = _make("f0", 1, [[20, 60], [30, 70]],
+                coords=[[4.0, 45.0, 55.0]])
+    tar = _make("f0", 1, [[25, 65], [28, 68]])
+    # unmatched cell is skipped with None
+    lone = _make("f1", 2, [[0, 10], [0, 10]])
+
+    src_cl = CellList.__new__(CellList)
+    src_cl.driver = _FakeDriver()
+    src_cl.cells = [src]
+    tar_cl = CellList.__new__(CellList)
+    tar_cl.driver = _FakeDriver()
+    tar_cl.cells = [tar, lone]
+
+    got = tar_cl._translate_chromosome_coords(src_cl, rot,
+                                              rotation_order="forward")
+    assert got[1] is None
+    rel = np.array([45.0, 55.0]) - np.array([40.0, 50.0])
+    want_xy = rot @ rel + np.array([45.0, 48.0])
+    np.testing.assert_allclose(got[0][0][1:], want_xy, atol=1e-9)
+    assert got[0][0][0] == 4.0  # z center identical in both stacks
+    assert tar.chrom_coords is not None  # attached (no prior coords)
+    # 'reverse' transposes: forward-then-reverse round-trips the xy
+    back = src_cl._translate_chromosome_coords(
+        tar_cl, rot, rotation_order="reverse", overwrite=True)
+    np.testing.assert_allclose(back[0][0], [4.0, 45.0, 55.0], atol=1e-9)
+
+    # border re-anchoring: a crop clipped at the low edge uses the
+    # partner's half-width measured from the far (in-FOV) edge
+    s, t = _border_aware_centers(2, 42, 30, 70, 200, border_lim=10)
+    assert (s, t) == (42 - 20.0, 70 - 20.0)
+    # both clipped high: anchored to crop starts with the max half-width
+    s, t = _border_aware_centers(160, 198, 170, 196, 200, border_lim=10)
+    assert (s, t) == (160 + 19.0, 170 + 19.0)
