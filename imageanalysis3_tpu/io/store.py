@@ -102,6 +102,22 @@ class FovStore:
             raise KeyError(f"region {region_id} not in {data_type}")
         return int(idx[0])
 
+    def transfer_data_type(self, data_type: str, target_type: str,
+                           overwrite: bool = False) -> None:
+        """Clone one data type's full group (ids/spots/flags/drifts/ims)
+        under a new name — the store-side analog of the reference's
+        attribute-renaming `_transfer_data_type` (classes/__init__.py:
+        4329-4443, unique -> rna-unique), so downstream stages can
+        re-pick/re-decode the copy without touching the original."""
+        if data_type not in self._fh:
+            raise KeyError(f"data type {data_type!r} not in store")
+        if target_type in self._fh:
+            if not overwrite:
+                raise KeyError(f"target {target_type!r} exists; pass "
+                               "overwrite=True to replace it")
+            del self._fh[target_type]
+        self._fh.copy(self._fh[data_type], target_type)
+
     # -- writes ----------------------------------------------------------
 
     def save_spots(self, data_type: str, region_id: int,

@@ -27,7 +27,8 @@ analysis.partition).  Methods NOT ported, each with its reason:
 `_pick_cell_segmentations` / `_update_cell_segmentations` /
 `_pick_chromosome_manual` / `_add_round_marker` (matplotlib click GUIs;
 see figures.interactive BoundaryMarker/SpotBrowser),
-`_generate_dependent_maps`, `_transfer_data_type`, the
+`_translate_old_segmentations`' raw-`.dax` re-correction branch (the
+driver owns raw correction), the
 combo/`Encoding_Group` old-generation decode path incl. `_save_group`
 (replaced by decode.merfish), and the multiprocessing-pool plumbing
 `_init_unique_pool` / `_fit_single_image` / `_pick_spot_in_batch` /
@@ -943,6 +944,29 @@ class CellList:
             out.append(coords)
         return out
 
+    def _transfer_data_type(self, data_type: str = "unique",
+                            target_type: str = "rna-unique",
+                            overwrite: bool = False) -> List[str]:
+        """Clone every FOV store's `data_type` group to `target_type`
+        (reference Cell_Data._transfer_data_type classes/__init__.py:
+        4329-4443: copies *_ims/*_ids/*_channels/*_spots attributes to a
+        new data-type name; here the store group IS that attribute set).
+        Returns the FOV names transferred."""
+        done: List[str] = []
+        seen = set()
+        for cell in self.cells:
+            fov = cell.fov_name
+            if fov is None or fov in seen:
+                continue
+            seen.add(fov)
+            with FovStore(self.driver.store_path(fov), "a") as store:
+                if data_type not in store.data_types():
+                    continue
+                store.transfer_data_type(data_type, target_type,
+                                         overwrite=overwrite)
+            done.append(fov)
+        return done
+
     @staticmethod
     def _fov_z_center(cell: CellData,
                       image_size: Optional[Sequence[int]]) -> float:
@@ -1078,19 +1102,33 @@ class CellList:
         Returns (map, n_chromosomes_used) — or
         (map, n, all_maps) with return_all_maps.
         """
+        maps = []
+        for cell in self.cells:
+            if not hasattr(cell, "distance_maps"):
+                cell._generate_distance_map()
+            maps.extend(cell.distance_maps)
+        out, n, total = self._screen_and_reduce(maps, stat_type,
+                                                contact_th, max_loss_prob)
+        if return_all_maps:
+            return out, n, total
+        return out, n
+
+    @staticmethod
+    def _screen_and_reduce(maps: Sequence[np.ndarray], stat_type: str,
+                           contact_th: float, max_loss_prob: float):
+        """Loss screen + majority-shape screen + nan-aware reduction
+        shared by the population-map variants (reference
+        _calculate_population_map classes/__init__.py:1628-1805)."""
         if stat_type not in ("median", "mean", "contact"):
             raise ValueError(f"stat_type {stat_type!r} not in "
                              f"median/mean/contact")
         cand: List[np.ndarray] = []
-        for cell in self.cells:
-            if not hasattr(cell, "distance_maps"):
-                cell._generate_distance_map()
-            for dmap in cell.distance_maps:
-                n = len(dmap)
-                failure = np.sum(np.isnan(dmap).sum(0) >= n - 1) / n
-                if failure > max_loss_prob:
-                    continue
-                cand.append(np.asarray(dmap, np.float64))
+        for dmap in maps:
+            n = len(dmap)
+            failure = np.sum(np.isnan(dmap).sum(0) >= n - 1) / n
+            if failure > max_loss_prob:
+                continue
+            cand.append(np.asarray(dmap, np.float64))
         if not cand:
             raise ValueError("no distance maps survive the loss screen")
         sizes = [m.shape[0] for m in cand]
@@ -1106,6 +1144,45 @@ class CellList:
                 close = np.nansum(total < contact_th, axis=0)
                 far = np.nansum(total > contact_th, axis=0)
                 out = close / np.maximum(close + far, 1)
-        if return_all_maps:
-            return out, len(cand), total
-        return out, len(cand)
+        return out, len(cand), total
+
+    def _generate_dependent_maps(self, flags: Sequence[Sequence],
+                                 gene_id: Optional[int] = None,
+                                 stat_type: str = "median",
+                                 contact_th: float = 200.0,
+                                 max_loss_prob: float = 0.2):
+        """Split each cell's per-chromosome distance maps by an on/off
+        flag (e.g. the RNA-expression flags `_merge_RNA_to_DNA` yields)
+        and reduce the two pools into flag-dependent population maps
+        (reference _generate_dependent_maps classes/__init__.py:
+        2095-2217: filters _flags into on/off groups, then runs the
+        population-map statistics per group; plotting is figures.plots'
+        job here).  `flags[i][j]` gates cell i's chromosome j: truthy ->
+        'on'; a dict flag is resolved through `gene_id` first (the
+        reference's combined-gene flag form).  Returns
+        {'on': (map, n) | None, 'off': (map, n) | None}."""
+        if len(flags) != len(self.cells):
+            raise ValueError("flags must have exactly one entry per cell")
+        on_maps, off_maps = [], []
+        for cell, cell_flags in zip(self.cells, flags):
+            if not hasattr(cell, "distance_maps"):
+                cell._generate_distance_map()
+            if len(cell_flags) != len(cell.distance_maps):
+                raise ValueError("one flag per chromosome is required")
+            for dmap, flg in zip(cell.distance_maps, cell_flags):
+                if isinstance(flg, dict):
+                    if gene_id is None or gene_id not in flg:
+                        raise ValueError("combined-gene flags require a "
+                                         "gene_id present in every flag")
+                    flg = flg[gene_id]
+                (on_maps if flg else off_maps).append(dmap)
+        out = {}
+        for key, pool in (("on", on_maps), ("off", off_maps)):
+            if pool:
+                m, n, _ = self._screen_and_reduce(pool, stat_type,
+                                                  contact_th,
+                                                  max_loss_prob)
+                out[key] = (m, n)
+            else:
+                out[key] = None
+        return out

@@ -508,3 +508,67 @@ def test_cell_list_translate_chromosome_coords():
     # both clipped high: anchored to crop starts with the max half-width
     s, t = _border_aware_centers(160, 198, 170, 196, 200, border_lim=10)
     assert (s, t) == (160 + 19.0, 170 + 19.0)
+
+
+def test_cell_list_dependent_maps_and_transfer(tmp_path):
+    """Flag-gated population maps (reference _generate_dependent_maps
+    classes/__init__.py:2095-2217) and data-type group cloning
+    (reference _transfer_data_type classes/__init__.py:4329-4443)."""
+    rng = np.random.default_rng(33)
+    cells = []
+    for i in range(6):
+        cand, _ = _cand_spots(rng, n_regions=12)
+        c = CellData(cand, fov_name="Conv_zscan_00.dax")
+        c._pick_spots(method="naive")
+        c._generate_distance_map()
+        # 'on' cells get a compacted (scaled-down) structure
+        if i < 3:
+            c.distance_maps = [m * 0.5 for m in c.distance_maps]
+        cells.append(c)
+
+    class _FakeDriver:
+        data_folder = save_folder = str(tmp_path)
+        fovs = []
+
+        def store_path(self, fov):
+            import os
+            return os.path.join(str(tmp_path), fov + ".hdf5")
+
+    cl = CellList.__new__(CellList)
+    cl.driver = _FakeDriver()
+    cl.cells = cells
+    flags = [[1]] * 3 + [[0]] * 3
+    dep = cl._generate_dependent_maps(flags, stat_type="median")
+    on_map, n_on = dep["on"]
+    off_map, n_off = dep["off"]
+    assert n_on == 3 and n_off == 3
+    tri = np.triu_indices_from(on_map, k=1)
+    assert np.nanmedian(on_map[tri]) < 0.6 * np.nanmedian(off_map[tri])
+    # dict flags require a gene_id
+    with pytest.raises(ValueError):
+        cl._generate_dependent_maps([[{7: 1}]] * 6)
+    dep2 = cl._generate_dependent_maps(
+        [[{7: int(i < 3)}] for i in range(6)], gene_id=7)
+    np.testing.assert_allclose(dep2["on"][0], on_map, equal_nan=True)
+
+    # store-side transfer: clone 'unique' -> 'rna-unique'
+    from imageanalysis3_tpu.io.store import FovStore
+    path = cl.driver.store_path("Conv_zscan_00.dax")
+    spots = np.arange(33, dtype=np.float32).reshape(3, 11)
+    with FovStore(path, "a") as store:
+        store.init_data_type("unique", region_ids=[1, 2],
+                             channels=["750", "647"], spot_capacity=3)
+        store.save_spots("unique", 1, spots, spots, np.zeros(3))
+    assert cl._transfer_data_type("unique", "rna-unique") \
+        == ["Conv_zscan_00.dax"]
+    with FovStore(path, "r") as store:
+        assert "rna-unique" in store.data_types()
+        got_spots, _, _ = store.load_spots("rna-unique", 1)
+        np.testing.assert_array_equal(got_spots, spots)
+        with pytest.raises(KeyError):
+            store.transfer_data_type("unique", "rna-unique")
+        store_ids = store._fh["unique"]["ids"][:]
+    with FovStore(path, "a") as store:
+        store.transfer_data_type("unique", "rna-unique", overwrite=True)
+        np.testing.assert_array_equal(store._fh["rna-unique"]["ids"][:],
+                                      store_ids)
